@@ -1,0 +1,95 @@
+"""tnsh — "Twist 'n' Shout" on TPU.
+
+A TPU-native (JAX/XLA/Pallas) zk-SNARK memory-checking framework with the
+capabilities of the reference Rust crate ``twist-and-shout``
+(vats98754/multilinear-map-cryptography): the Twist (read-write memory
+checking) and Shout (read-only lookup) protocols over multilinear
+extensions, the sum-check protocol and KZG commitments on BN254, with
+bit-exact Fiat-Shamir transcripts.
+
+Public surface mirrors the reference's crate root re-exports
+(reference src/lib.rs:49-56).
+"""
+
+from .bench.harness import BenchmarkResults, ProtocolBenchmarks, benchmark_setup
+from .commit.kzg import (
+    CommitmentScheme,
+    KZGCommitment,
+    KZGCommitmentValue,
+    KZGProof,
+    KZGVectorCommitment,
+    VectorCommitmentScheme,
+)
+from .core.params import (
+    CommitmentParams,
+    CommitmentVerificationKey,
+    ProverParams,
+    VerifierParams,
+    setup_params,
+)
+from .core.transcript import Transcript
+from .errors import (
+    CommitmentError,
+    InvalidParametersError,
+    PolynomialError,
+    ProofGenerationError,
+    ProofVerificationError,
+    SumCheckError,
+    TwistAndShoutError,
+)
+from .field.fr import Fr
+from .field.fr import Fr as FieldElement
+from .iop.sumcheck import SumCheck, SumCheckProof, SumCheckVerifier
+from .poly.lt import LessThanPolynomial
+from .poly.mle import MultilinearExtension
+from .protocols.shout import LookupOp, LookupTable, Shout, ShoutProof
+from .protocols.twist import (
+    MemoryOp,
+    MemoryOpKind,
+    MemoryTrace,
+    Twist,
+    TwistProof,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BenchmarkResults",
+    "CommitmentError",
+    "CommitmentParams",
+    "CommitmentScheme",
+    "CommitmentVerificationKey",
+    "FieldElement",
+    "Fr",
+    "InvalidParametersError",
+    "KZGCommitment",
+    "KZGCommitmentValue",
+    "KZGProof",
+    "KZGVectorCommitment",
+    "LessThanPolynomial",
+    "LookupOp",
+    "LookupTable",
+    "MemoryOp",
+    "MemoryOpKind",
+    "MemoryTrace",
+    "MultilinearExtension",
+    "PolynomialError",
+    "ProofGenerationError",
+    "ProofVerificationError",
+    "ProtocolBenchmarks",
+    "ProverParams",
+    "Shout",
+    "ShoutProof",
+    "SumCheck",
+    "SumCheckError",
+    "SumCheckProof",
+    "SumCheckVerifier",
+    "Transcript",
+    "Twist",
+    "TwistAndShoutError",
+    "TwistProof",
+    "VectorCommitmentScheme",
+    "VerifierParams",
+    "benchmark_setup",
+    "setup_params",
+]

@@ -1,0 +1,405 @@
+"""KZG polynomial and vector commitments over BN254.
+
+Port of ``commitments.rs`` (reference commitments.rs:15-483):
+
+  * ``CommitmentScheme`` — abstract interface (commitments.rs:15-59).
+  * ``KZGCommitment`` — commit/open/verify/batch_verify (commitments.rs:156-301).
+    ``commit`` uses a Pippenger bucket MSM instead of the reference's per-term
+    scalar-mul loop (commitments.rs:173-177) — the resulting group element is
+    identical.  ``open`` computes the quotient (P(x) - v)/(x - z) by synthetic
+    (Horner) division, equivalent to the reference's long division
+    (commitments.rs:317-375) including the empty-quotient convention for
+    constant polynomials.
+  * ``KZGCommitmentValue.hash()`` — affine x-coordinate bytes reduced into Fr
+    (commitments.rs:72-85); identity hashes to Fr(0) because ark's affine
+    infinity carries x = 0.
+  * ``batch_verify`` — random linear combination with a FIXED-seed ChaCha20
+    (NOT the transcript), reproducing the reference's quirk
+    (commitments.rs:249-255).
+  * ``KZGVectorCommitment`` — vector commitment via interpolation over
+    {0..n-1} (commitments.rs:407-483).
+
+The JAX/Pallas MSM for proving-scale commitments lives in
+``tnsh.commit.msm_jax``; this module is the exact host path and the golden
+reference for it.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+from ..core.params import CommitmentParams, CommitmentVerificationKey
+from ..core.rng import ChaCha20Rng, fr_rand
+from ..core.serialize import g1_from_bytes, g1_to_bytes
+from ..errors import CommitmentError, PolynomialError
+from ..field.fr import Fr
+from ..field.g1 import G1
+from ..field.pairing import pairing
+from ..poly.interp import interpolate_on_range
+
+
+# ---------------------------------------------------------------------------
+# Host-side Pippenger MSM (golden path; TPU path in tnsh.commit.msm_jax)
+# ---------------------------------------------------------------------------
+
+def msm(points: Sequence[G1], scalars: Sequence[Fr]) -> G1:
+    """Σ s_i · P_i via windowed bucket accumulation."""
+    n = min(len(points), len(scalars))
+    pairs = [(points[i], int(scalars[i])) for i in range(n) if int(scalars[i])]
+    if not pairs:
+        return G1.zero()
+    if len(pairs) <= 4:
+        acc = G1.zero()
+        for p, s in pairs:
+            acc = acc.add(p.scalar_mul(s))
+        return acc
+    c = max(2, len(pairs).bit_length() - 1)
+    c = min(c, 13)
+    num_windows = (254 + c - 1) // c
+    mask = (1 << c) - 1
+    result = G1.zero()
+    for w in range(num_windows - 1, -1, -1):
+        if not result.is_zero():
+            for _ in range(c):
+                result = result.double()
+        buckets: List[G1] = [G1.zero()] * (mask + 1)
+        shift = w * c
+        for p, s in pairs:
+            d = (s >> shift) & mask
+            if d:
+                buckets[d] = buckets[d].add(p)
+        acc = G1.zero()
+        running = G1.zero()
+        for d in range(mask, 0, -1):
+            running = running.add(buckets[d])
+            acc = acc.add(running)
+        result = result.add(acc)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Commitment values and proofs
+# ---------------------------------------------------------------------------
+
+@dataclass
+class KZGCommitmentValue:
+    """A KZG commitment — a point in G1 (reference commitments.rs:66-85)."""
+
+    commitment: G1
+
+    def hash(self) -> Fr:
+        """Affine x-coordinate LE bytes → Fr mod order
+        (reference commitments.rs:73-84)."""
+        x, _ = self.commitment.to_affine()
+        return Fr.from_le_bytes_mod_order(x.to_bytes(32, "little"))
+
+    def serialize_compressed(self) -> bytes:
+        return g1_to_bytes(self.commitment, compress=True)
+
+    @classmethod
+    def deserialize_compressed(cls, data: bytes) -> "KZGCommitmentValue":
+        return cls(g1_from_bytes(data, compressed=True))
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, KZGCommitmentValue):
+            return NotImplemented
+        return self.commitment == other.commitment
+
+
+@dataclass
+class KZGProof:
+    """A KZG opening proof — a point in G1 (reference commitments.rs:88-91)."""
+
+    proof: G1
+
+    def serialize_compressed(self) -> bytes:
+        return g1_to_bytes(self.proof, compress=True)
+
+    @classmethod
+    def deserialize_compressed(cls, data: bytes) -> "KZGProof":
+        return cls(g1_from_bytes(data, compressed=True))
+
+
+# ---------------------------------------------------------------------------
+# Scheme interface (reference commitments.rs:15-59)
+# ---------------------------------------------------------------------------
+
+class CommitmentScheme(ABC):
+    """Abstract polynomial commitment scheme."""
+
+    @staticmethod
+    @abstractmethod
+    def commit(params, polynomial: Sequence[Fr]):
+        ...
+
+    @staticmethod
+    @abstractmethod
+    def open(params, polynomial: Sequence[Fr], point: Fr):
+        ...
+
+    @staticmethod
+    @abstractmethod
+    def verify(vk, commitment, point: Fr, value: Fr, proof) -> bool:
+        ...
+
+    @classmethod
+    def batch_verify(cls, vk, commitments, points, values, proofs) -> bool:
+        """Default: verify each proof individually (commitments.rs:44-58)."""
+        for c, z, v, pi in zip(commitments, points, values, proofs):
+            if not cls.verify(vk, c, z, v, pi):
+                return False
+        return True
+
+
+# ---------------------------------------------------------------------------
+# Polynomial helpers
+# ---------------------------------------------------------------------------
+
+def evaluate_polynomial(coeffs: Sequence[Fr], point: Fr) -> Fr:
+    """Horner evaluation; empty -> 0 (reference commitments.rs:304-313)."""
+    acc = Fr(0)
+    for c in reversed(coeffs):
+        acc = acc * point + c
+    return acc
+
+
+def compute_quotient_polynomial(
+    poly: Sequence[Fr], point: Fr, value: Fr
+) -> List[Fr]:
+    """(P(x) - v) / (x - z) by synthetic division
+    (same output as reference commitments.rs:315-375)."""
+    if len(poly) == 0:
+        return []
+    if len(poly) == 1:
+        return []  # constant: quotient is the empty polynomial
+    # Synthetic division of (P - v) by (x - z), highest coefficient first.
+    n = len(poly)
+    q: List[Fr] = [Fr(0)] * (n - 1)
+    carry = Fr(poly[n - 1])
+    for i in range(n - 2, -1, -1):
+        q[i] = carry
+        carry = Fr(poly[i]) + carry * point
+        if i == 0:
+            # remainder = P(z) - v must be 0; tolerated silently like the
+            # reference (it assumes exact division, commitments.rs:337).
+            pass
+    return q
+
+
+def polynomial_division(
+    dividend: Sequence[Fr], divisor: Sequence[Fr]
+) -> List[Fr]:
+    """General long division returning the quotient
+    (reference commitments.rs:336-375)."""
+    if len(divisor) == 0 or all(int(x) == 0 for x in divisor):
+        raise PolynomialError("Cannot divide by zero polynomial")
+    divisor_degree = len(divisor) - 1
+    leading = Fr(divisor[divisor_degree])
+    if leading.is_zero():
+        raise PolynomialError("Divisor must have non-zero leading coefficient")
+    leading_inv = leading.inverse()
+    remainder = [Fr(x) for x in dividend]
+    if len(remainder) < len(divisor):
+        return []
+    quotient_degree = len(remainder) - len(divisor)
+    quotient = [Fr(0)] * (quotient_degree + 1)
+    for i in range(quotient_degree, -1, -1):
+        if len(remainder) > i + divisor_degree:
+            coeff = remainder[i + divisor_degree] * leading_inv
+            quotient[i] = coeff
+            for j in range(len(divisor)):
+                if i + j < len(remainder):
+                    remainder[i + j] = remainder[i + j] - coeff * divisor[j]
+    return quotient
+
+
+# ---------------------------------------------------------------------------
+# KZG scheme (reference commitments.rs:156-301)
+# ---------------------------------------------------------------------------
+
+class KZGCommitment(CommitmentScheme):
+    """KZG over BN254 with the trusted setup from ``setup_params``."""
+
+    @staticmethod
+    def commit(
+        params: CommitmentParams, polynomial: Sequence[Fr]
+    ) -> KZGCommitmentValue:
+        if len(polynomial) > len(params.g1_powers):
+            raise CommitmentError("Polynomial degree exceeds setup size")
+        return KZGCommitmentValue(
+            msm(params.g1_powers[: len(polynomial)], polynomial)
+        )
+
+    @staticmethod
+    def open(
+        params: CommitmentParams, polynomial: Sequence[Fr], point: Fr
+    ) -> Tuple[Fr, KZGProof]:
+        value = evaluate_polynomial(polynomial, point)
+        quotient = compute_quotient_polynomial(polynomial, point, value)
+        proof_commitment = KZGCommitment.commit(params, quotient)
+        return value, KZGProof(proof_commitment.commitment)
+
+    @staticmethod
+    def verify(
+        vk: CommitmentVerificationKey,
+        commitment: KZGCommitmentValue,
+        point: Fr,
+        value: Fr,
+        proof: KZGProof,
+    ) -> bool:
+        """Pairing check e(C - [v]_1, [1]_2) == e(pi, [tau]_2 - [z]_2)
+        (reference commitments.rs:201-228)."""
+        left_g1 = commitment.commitment - vk.g1_generator.scalar_mul(value)
+        right_g2 = vk.g2_tau - vk.g2_generator.scalar_mul(point)
+        return pairing(left_g1, vk.g2_generator) == pairing(proof.proof, right_g2)
+
+    @staticmethod
+    def batch_verify(
+        vk: CommitmentVerificationKey,
+        commitments: Sequence[KZGCommitmentValue],
+        points: Sequence[Fr],
+        values: Sequence[Fr],
+        proofs: Sequence[KZGProof],
+    ) -> bool:
+        """RLC batch verification, reference-faithful (commitments.rs:230-301).
+
+        PARITY WARNING: the reference's pairing equation is unbalanced in the
+        RLC weights — the left side is linear in gamma while the right side
+        (Sum gamma_i pi_i paired with Sum gamma_j (tau - z_j) G2) is
+        quadratic — so it rejects HONEST non-empty batches with random
+        gammas.  The reference never calls or tests this method; we keep its
+        exact behavior (including the fixed [42u8;32]-seeded gammas, NOT the
+        transcript) and provide ``batch_verify_sound`` for real batching.
+        """
+        if not (len(commitments) == len(points) == len(values) == len(proofs)):
+            raise CommitmentError("Batch verify input lengths must match")
+        if len(commitments) == 0:
+            return True
+        rng = ChaCha20Rng.from_seed(bytes([42]) * 32)
+        gammas = [fr_rand(rng) for _ in commitments]
+
+        batched_commitment = G1.zero()
+        for cval, gamma in zip(commitments, gammas):
+            batched_commitment = batched_commitment.add(
+                cval.commitment.scalar_mul(gamma)
+            )
+        batched_value = Fr(0)
+        for v, gamma in zip(values, gammas):
+            batched_value = batched_value + v * gamma
+        batched_proof = G1.zero()
+        for pi, gamma in zip(proofs, gammas):
+            batched_proof = batched_proof.add(pi.proof.scalar_mul(gamma))
+
+        left_g1 = batched_commitment - vk.g1_generator.scalar_mul(batched_value)
+        from ..field.g2 import G2
+
+        batched_g2 = G2.zero()
+        for z, gamma in zip(points, gammas):
+            term = (vk.g2_tau - vk.g2_generator.scalar_mul(z)).scalar_mul(gamma)
+            batched_g2 = batched_g2.add(term)
+
+        return pairing(left_g1, vk.g2_generator) == pairing(
+            batched_proof, batched_g2
+        )
+
+    @staticmethod
+    def batch_verify_sound(
+        vk: CommitmentVerificationKey,
+        commitments: Sequence[KZGCommitmentValue],
+        points: Sequence[Fr],
+        values: Sequence[Fr],
+        proofs: Sequence[KZGProof],
+    ) -> bool:
+        """Correct RLC batch verification (tnsh extension).
+
+        Uses the standard identity per opening
+        ``C_i - v_i G + z_i pi_i  ==  tau * pi_i`` in the exponent, so
+
+            e(Sum gamma_i (C_i - v_i G + z_i pi_i), [1]_2)
+              == e(Sum gamma_i pi_i, [tau]_2)
+
+        holds iff every opening is valid (up to RLC soundness error).
+        """
+        if not (len(commitments) == len(points) == len(values) == len(proofs)):
+            raise CommitmentError("Batch verify input lengths must match")
+        if len(commitments) == 0:
+            return True
+        rng = ChaCha20Rng.from_seed(bytes([42]) * 32)
+        gammas = [fr_rand(rng) for _ in commitments]
+        left = G1.zero()
+        right_proof = G1.zero()
+        for cval, z, v, pi, gamma in zip(
+            commitments, points, values, proofs, gammas
+        ):
+            term = (
+                cval.commitment
+                - vk.g1_generator.scalar_mul(v)
+                + pi.proof.scalar_mul(z)
+            )
+            left = left.add(term.scalar_mul(gamma))
+            right_proof = right_proof.add(pi.proof.scalar_mul(gamma))
+        from ..field.pairing import pairing_product_is_one
+
+        return pairing_product_is_one(
+            [(left, vk.g2_generator), (right_proof.neg(), vk.g2_tau)]
+        )
+
+
+# ---------------------------------------------------------------------------
+# Vector commitments (reference commitments.rs:378-483)
+# ---------------------------------------------------------------------------
+
+class VectorCommitmentScheme(ABC):
+    """Abstract vector commitment scheme (reference commitments.rs:378-405)."""
+
+    @staticmethod
+    @abstractmethod
+    def commit(params, vector: Sequence[Fr]):
+        ...
+
+    @staticmethod
+    @abstractmethod
+    def open(params, vector: Sequence[Fr], index: int):
+        ...
+
+    @staticmethod
+    @abstractmethod
+    def verify(vk, commitment, index: int, value: Fr, proof) -> bool:
+        ...
+
+
+class KZGVectorCommitment(VectorCommitmentScheme):
+    """Vector commitment = KZG over the interpolation of the vector on
+    {0..n-1} (reference commitments.rs:407-483)."""
+
+    @staticmethod
+    def commit(
+        params: CommitmentParams, vector: Sequence[Fr]
+    ) -> KZGCommitmentValue:
+        poly = interpolate_on_range([Fr(v) for v in vector])
+        return KZGCommitment.commit(params, poly)
+
+    @staticmethod
+    def open(
+        params: CommitmentParams, vector: Sequence[Fr], index: int
+    ) -> Tuple[Fr, KZGProof]:
+        if index >= len(vector):
+            raise CommitmentError("Index out of bounds")
+        value = Fr(vector[index])
+        poly = interpolate_on_range([Fr(v) for v in vector])
+        opened_value, proof = KZGCommitment.open(params, poly, Fr(index))
+        if opened_value != value:
+            raise CommitmentError("Opened value does not match vector entry")
+        return value, proof
+
+    @staticmethod
+    def verify(
+        vk: CommitmentVerificationKey,
+        commitment: KZGCommitmentValue,
+        index: int,
+        value: Fr,
+        proof: KZGProof,
+    ) -> bool:
+        return KZGCommitment.verify(vk, commitment, Fr(index), value, proof)

@@ -1,0 +1,258 @@
+"""Sum-check protocol engine.
+
+Port of ``SumCheck`` (reference sumcheck.rs:14-213) with the closure-based
+prover generalized into *oracles* (SURVEY §7.0 "Sum-check engine"):
+
+  * ``CallableOracle`` — reference-exact semantics: an opaque function over
+    points; per round the prover enumerates the suffix hypercube in
+    little-endian bit order and evaluates at X = 0..3
+    (sumcheck.rs:166-198).  Used by tests and arbitrary polynomials.
+  * ``ZeroOracle`` — the identically-zero polynomial; this is what the
+    reference's Twist/Shout consistency closures compute (they always return
+    zero — twist.rs:212, shout.rs:182), so the default protocol path uses it
+    and produces bit-identical (all-zero) round polynomials without touching
+    the MLE tables.
+  * ``ProductMLEOracle`` — product of MLE factors evaluated by table folding:
+    O(2^n) per round instead of the reference's O(4^n)-ish re-evaluation.
+    This powers sound-mode constraints and the TPU-sharded prover
+    (tnsh.parallel.mesh folds shard-locally and psums round evaluations).
+
+Round polynomials are degree-<=3 univariates represented by 4 coefficients,
+interpolated from evaluations at X = 0,1,2,3 exactly like the reference
+(sumcheck.rs:175, 200-206).  Transcript labels are byte-identical:
+``sumcheck_round_{r}`` and ``sumcheck_challenge_{r}`` (sumcheck.rs:91, 95).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+from ..core.transcript import Transcript
+from ..errors import SumCheckError
+from ..field.fr import MODULUS, Fr
+from ..poly.interp import lagrange_interpolate
+from ..poly.mle import MultilinearExtension
+
+_P = MODULUS
+
+#: Evaluation points for each round polynomial (degree <= 3).
+_ROUND_XS = (Fr(0), Fr(1), Fr(2), Fr(3))
+
+
+@dataclass
+class SumCheckProof:
+    """Round polynomials (4 coefficients each) + final evaluation
+    (reference sumcheck.rs:25-31)."""
+
+    round_polynomials: List[List[Fr]]
+    final_evaluation: Fr
+
+
+@dataclass
+class SumCheckVerifier:
+    """Verifier state struct — declared for API parity with the reference
+    (sumcheck.rs:35-44), which also never uses it."""
+
+    num_vars: int
+    challenges: List[Fr] = field(default_factory=list)
+    expected_sum: Fr = Fr(0)
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+class SumcheckOracle:
+    """Prover-side polynomial interface consumed by ``SumCheck.prove``."""
+
+    def round_evaluations(self, round_index: int) -> List[Fr]:
+        """[g(0), g(1), g(2), g(3)] for the current round."""
+        raise NotImplementedError
+
+    def bind(self, challenge: Fr) -> None:
+        """Fix the current variable to ``challenge`` and advance a round."""
+        raise NotImplementedError
+
+    def final_evaluation(self, challenges: Sequence[Fr]) -> Fr:
+        """f(challenges) after all rounds."""
+        raise NotImplementedError
+
+
+class CallableOracle(SumcheckOracle):
+    """Reference-exact oracle over an opaque callable
+    (reference sumcheck.rs:156-207)."""
+
+    def __init__(self, func: Callable[[List[Fr]], Fr], num_vars: int):
+        self.func = func
+        self.num_vars = num_vars
+        self.fixed: List[Fr] = []
+
+    def round_evaluations(self, round_index: int) -> List[Fr]:
+        remaining = self.num_vars - len(self.fixed) - 1
+        num_points = 1 << remaining
+        evals: List[Fr] = []
+        for x in _ROUND_XS:
+            total = 0
+            for suffix in range(num_points):
+                point = list(self.fixed)
+                point.append(x)
+                for bit in range(remaining):
+                    point.append(Fr(1) if (suffix >> bit) & 1 else Fr(0))
+                total += int(self.func(point))
+            evals.append(Fr(total))
+        return evals
+
+    def bind(self, challenge: Fr) -> None:
+        self.fixed.append(challenge)
+
+    def final_evaluation(self, challenges: Sequence[Fr]) -> Fr:
+        return self.func(list(challenges))
+
+
+class ZeroOracle(SumcheckOracle):
+    """The identically-zero polynomial — what the reference's stub
+    consistency closures compute (twist.rs:186-214, shout.rs:160-184)."""
+
+    def __init__(self, num_vars: int):
+        self.num_vars = num_vars
+
+    def round_evaluations(self, round_index: int) -> List[Fr]:
+        return [Fr(0), Fr(0), Fr(0), Fr(0)]
+
+    def bind(self, challenge: Fr) -> None:
+        pass
+
+    def final_evaluation(self, challenges: Sequence[Fr]) -> Fr:
+        return Fr(0)
+
+
+class ProductMLEOracle(SumcheckOracle):
+    """Product of MLE factors (optionally scaled), evaluated by folding.
+
+    Folds the FIRST (fastest) variable each round, matching the reference's
+    variable order.  Per-round cost is O(4 * k * 2^remaining) field mults
+    where k = number of factors — the classic linear-time sum-check prover.
+    """
+
+    def __init__(self, factors: Sequence[MultilinearExtension], scale: Fr = Fr(1)):
+        if not factors:
+            raise SumCheckError("ProductMLEOracle needs at least one factor")
+        self.num_vars = factors[0].num_vars
+        for f in factors:
+            if f.num_vars != self.num_vars:
+                raise SumCheckError("factor num_vars mismatch")
+        self.tables: List[List[int]] = [
+            [int(e) for e in f.evaluations] for f in factors
+        ]
+        self.scale = int(scale)
+
+    def round_evaluations(self, round_index: int) -> List[Fr]:
+        half = len(self.tables[0]) // 2
+        sums = [0, 0, 0, 0]
+        for s in range(half):
+            lo_hi = [(t[2 * s], t[2 * s + 1]) for t in self.tables]
+            for xi in range(4):
+                prod = self.scale
+                for lo, hi in lo_hi:
+                    prod = prod * ((lo + xi * (hi - lo)) % _P) % _P
+                sums[xi] += prod
+        return [Fr(v) for v in sums]
+
+    def bind(self, challenge: Fr) -> None:
+        r = int(challenge)
+        self.tables = [
+            [
+                (t[2 * i] + r * (t[2 * i + 1] - t[2 * i])) % _P
+                for i in range(len(t) // 2)
+            ]
+            for t in self.tables
+        ]
+
+    def final_evaluation(self, challenges: Sequence[Fr]) -> Fr:
+        prod = self.scale
+        for t in self.tables:
+            prod = prod * t[0] % _P
+        return Fr(prod)
+
+
+# ---------------------------------------------------------------------------
+# Protocol
+# ---------------------------------------------------------------------------
+
+def _evaluate_round_polynomial(coeffs: Sequence[Fr], point: Fr) -> Fr:
+    acc = 0
+    p = int(point)
+    for c in reversed(coeffs):
+        acc = (acc * p + int(c)) % _P
+    return Fr(acc)
+
+
+class SumCheck:
+    """Sum-check instance: claim Σ_{x in {0,1}^n} f(x) = claimed_sum
+    (reference sumcheck.rs:46-153)."""
+
+    def __init__(self, num_vars: int, claimed_sum: Fr):
+        self.num_vars = num_vars
+        self.claimed_sum = Fr(claimed_sum)
+
+    def prove(self, polynomial, transcript: Transcript) -> SumCheckProof:
+        """``polynomial`` is a ``SumcheckOracle`` or a plain callable
+        (wrapped in ``CallableOracle`` with reference-exact semantics)."""
+        oracle = (
+            polynomial
+            if isinstance(polynomial, SumcheckOracle)
+            else CallableOracle(polynomial, self.num_vars)
+        )
+        round_polynomials: List[List[Fr]] = []
+        current_sum = self.claimed_sum
+        challenges: List[Fr] = []
+
+        for round_index in range(self.num_vars):
+            evals = oracle.round_evaluations(round_index)
+            round_poly = lagrange_interpolate(
+                list(zip(_ROUND_XS, evals))
+            )
+            g_0 = _evaluate_round_polynomial(round_poly, Fr(0))
+            g_1 = _evaluate_round_polynomial(round_poly, Fr(1))
+            if g_0 + g_1 != current_sum:
+                raise SumCheckError(
+                    f"Round {round_index} consistency check failed"
+                )
+            round_polynomials.append(round_poly)
+
+            transcript.append_field_elements(
+                f"sumcheck_round_{round_index}".encode(), round_poly
+            )
+            challenge = transcript.challenge_field_element(
+                f"sumcheck_challenge_{round_index}".encode()
+            )
+            challenges.append(challenge)
+            oracle.bind(challenge)
+            current_sum = _evaluate_round_polynomial(round_poly, challenge)
+
+        final_evaluation = oracle.final_evaluation(challenges)
+        return SumCheckProof(round_polynomials, final_evaluation)
+
+    def verify(self, proof: SumCheckProof, transcript: Transcript):
+        """Returns ``(is_valid, challenges)`` (reference sumcheck.rs:113-153)."""
+        if len(proof.round_polynomials) != self.num_vars:
+            raise SumCheckError("Proof has wrong number of rounds")
+
+        current_sum = self.claimed_sum
+        challenges: List[Fr] = []
+        for round_index, round_poly in enumerate(proof.round_polynomials):
+            g_0 = _evaluate_round_polynomial(round_poly, Fr(0))
+            g_1 = _evaluate_round_polynomial(round_poly, Fr(1))
+            if g_0 + g_1 != current_sum:
+                return False, challenges
+            transcript.append_field_elements(
+                f"sumcheck_round_{round_index}".encode(), round_poly
+            )
+            challenge = transcript.challenge_field_element(
+                f"sumcheck_challenge_{round_index}".encode()
+            )
+            challenges.append(challenge)
+            current_sum = _evaluate_round_polynomial(round_poly, challenge)
+
+        return current_sum == proof.final_evaluation, challenges

@@ -1,0 +1,270 @@
+"""Twist — read-write memory checking protocol.
+
+Port of ``twist.rs`` (reference twist.rs:16-316).  Pipeline order, transcript
+labels, padding rules and the proof shape are byte-compatible:
+
+  prove (reference twist.rs:107-251):
+    1. op-count guard against ``max_operations`` (twist.rs:108-112)
+    2. extract address / value / op-type columns (twist.rs:114-138)
+    3. pad all three to next_pow2 (0-ops pads to size 1) (twist.rs:140-148)
+    4. interpolate address+value vectors over {0..n-1} (twist.rs:151-152)
+    5. KZG-commit both polynomials (twist.rs:155-163)
+    6. transcript <- "address_commitment" / "value_commitment" hashes
+       (twist.rs:173-174)
+    7. sum-check over log2(padded) vars, claimed sum 0 (twist.rs:167-216).
+       The reference's consistency closure ALWAYS returns zero
+       (twist.rs:212; SURVEY caveat 1), so the default oracle here is
+       ``ZeroOracle`` — bit-identical round polynomials, none of the wasted
+       MLE evaluation.  ``sound_mode=True`` runs the real one-hot/less-than
+       constraint product instead (a tnsh extension; changes the proof).
+    8. draw ``opening_challenges`` and KZG-open both polys at challenge[0]
+       (twist.rs:219-243)
+
+  verify (reference twist.rs:255-304): replay transcript, verify sum-check
+  with num_vars TAKEN FROM THE PROOF (twist.rs:263 — proof-controlled,
+  SURVEY caveat 4), re-derive challenges, check openings only when present.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import List, Tuple
+
+from ..commit.kzg import KZGCommitment, KZGCommitmentValue, KZGProof
+from ..core.params import ProverParams, VerifierParams
+from ..core.transcript import Transcript
+from ..errors import InvalidParametersError
+from ..field.fr import Fr
+from ..iop.sumcheck import (
+    ProductMLEOracle,
+    SumCheck,
+    SumCheckProof,
+    ZeroOracle,
+)
+from ..poly.interp import interpolate_on_range
+from ..poly.mle import MultilinearExtension
+
+
+class MemoryOpKind(Enum):
+    READ = 0
+    WRITE = 1
+
+
+@dataclass(frozen=True)
+class MemoryOp:
+    """A single read or write (reference twist.rs:16-20)."""
+
+    kind: MemoryOpKind
+    address: int
+    value: Fr
+
+    @staticmethod
+    def read(address: int, value: Fr) -> "MemoryOp":
+        return MemoryOp(MemoryOpKind.READ, address, value)
+
+    @staticmethod
+    def write(address: int, value: Fr) -> "MemoryOp":
+        return MemoryOp(MemoryOpKind.WRITE, address, value)
+
+    @property
+    def is_write(self) -> bool:
+        return self.kind is MemoryOpKind.WRITE
+
+    @property
+    def is_read(self) -> bool:
+        return self.kind is MemoryOpKind.READ
+
+
+class MemoryTrace:
+    """Power-of-two-sized memory with an operation log
+    (reference twist.rs:23-72)."""
+
+    def __init__(self, memory_size: int):
+        if memory_size <= 0 or memory_size & (memory_size - 1):
+            raise AssertionError("Memory size must be power of 2")
+        self.memory_size = memory_size
+        self.operations: List[MemoryOp] = []
+        self._memory: List[Fr] = [Fr(0)] * memory_size
+
+    def write(self, address: int, value: Fr) -> None:
+        if address >= self.memory_size:
+            raise InvalidParametersError("Address out of bounds")
+        value = Fr(value)
+        self._memory[address] = value
+        self.operations.append(MemoryOp.write(address, value))
+
+    def read(self, address: int) -> Fr:
+        if address >= self.memory_size:
+            raise InvalidParametersError("Address out of bounds")
+        value = self._memory[address]
+        self.operations.append(MemoryOp.read(address, value))
+        return value
+
+
+@dataclass
+class TwistProof:
+    """Twist proof (reference twist.rs:74-89)."""
+
+    address_commitment: KZGCommitmentValue
+    value_commitment: KZGCommitmentValue
+    consistency_proof: SumCheckProof
+    opening_proofs: List[KZGProof]
+    final_evaluations: List[Fr]
+
+
+def _next_power_of_two(n: int) -> int:
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+class Twist:
+    """Twist prover/verifier (reference twist.rs:91-316)."""
+
+    def __init__(self, prover_params: ProverParams):
+        self.prover_params = prover_params
+
+    def prove(self, trace: MemoryTrace, sound_mode: bool = False) -> TwistProof:
+        if len(trace.operations) > self.prover_params.max_operations:
+            raise InvalidParametersError("Too many operations")
+
+        addresses = [Fr(op.address) for op in trace.operations]
+        values = [Fr(op.value) for op in trace.operations]
+        op_types = [Fr(1) if op.is_write else Fr(0) for op in trace.operations]
+
+        padded_size = max(_next_power_of_two(len(addresses)), 1)
+        addresses = addresses + [Fr(0)] * (padded_size - len(addresses))
+        values = values + [Fr(0)] * (padded_size - len(values))
+        op_types = op_types + [Fr(0)] * (padded_size - len(op_types))
+
+        address_poly = interpolate_on_range(addresses)
+        value_poly = interpolate_on_range(values)
+
+        cp = self.prover_params.commitment_params
+        address_commitment = KZGCommitment.commit(cp, address_poly)
+        value_commitment = KZGCommitment.commit(cp, value_poly)
+
+        log_ops = padded_size.bit_length() - 1
+        sumcheck = SumCheck(log_ops, Fr(0))
+
+        transcript = Transcript(self.prover_params.fiat_shamir_seed)
+        transcript.append_field_element(
+            b"address_commitment", address_commitment.hash()
+        )
+        transcript.append_field_element(
+            b"value_commitment", value_commitment.hash()
+        )
+
+        if sound_mode:
+            oracle = self._sound_consistency_oracle(
+                log_ops, addresses, values, op_types
+            )
+        else:
+            # The reference's consistency closure is identically zero
+            # (twist.rs:186-214); ZeroOracle reproduces it bit-exactly.
+            oracle = ZeroOracle(log_ops)
+        consistency_proof = sumcheck.prove(oracle, transcript)
+
+        challenges = transcript.challenge_field_elements(
+            b"opening_challenges", log_ops
+        )
+
+        opening_proofs: List[KZGProof] = []
+        final_evaluations: List[Fr] = []
+        if challenges:
+            address_eval, address_opening = KZGCommitment.open(
+                cp, address_poly, challenges[0]
+            )
+            value_eval, value_opening = KZGCommitment.open(
+                cp, value_poly, challenges[0]
+            )
+            opening_proofs = [address_opening, value_opening]
+            final_evaluations = [address_eval, value_eval]
+
+        return TwistProof(
+            address_commitment=address_commitment,
+            value_commitment=value_commitment,
+            consistency_proof=consistency_proof,
+            opening_proofs=opening_proofs,
+            final_evaluations=final_evaluations,
+        )
+
+    def verify(self, proof: TwistProof, verifier_params: VerifierParams) -> bool:
+        transcript = Transcript(verifier_params.fiat_shamir_seed)
+        transcript.append_field_element(
+            b"address_commitment", proof.address_commitment.hash()
+        )
+        transcript.append_field_element(
+            b"value_commitment", proof.value_commitment.hash()
+        )
+
+        num_vars = len(proof.consistency_proof.round_polynomials)
+        sumcheck = SumCheck(num_vars, Fr(0))
+        sumcheck_valid, _ = sumcheck.verify(proof.consistency_proof, transcript)
+        if not sumcheck_valid:
+            return False
+
+        opening_challenges = transcript.challenge_field_elements(
+            b"opening_challenges", num_vars
+        )
+
+        if (
+            opening_challenges
+            and len(proof.opening_proofs) >= 2
+            and len(proof.final_evaluations) >= 2
+        ):
+            vk = verifier_params.commitment_vk
+            if not KZGCommitment.verify(
+                vk,
+                proof.address_commitment,
+                opening_challenges[0],
+                proof.final_evaluations[0],
+                proof.opening_proofs[0],
+            ):
+                return False
+            if not KZGCommitment.verify(
+                vk,
+                proof.value_commitment,
+                opening_challenges[0],
+                proof.final_evaluations[1],
+                proof.opening_proofs[1],
+            ):
+                return False
+        return True
+
+    def vector_to_polynomial(self, vector: List[Fr]) -> List[Fr]:
+        """Interpolation over {0..n-1} (reference twist.rs:307-316)."""
+        return interpolate_on_range([Fr(v) for v in vector])
+
+    # -- sound mode (tnsh extension) --------------------------------------
+    @staticmethod
+    def _sound_consistency_oracle(
+        log_ops: int,
+        addresses: List[Fr],
+        values: List[Fr],
+        op_types: List[Fr],
+    ) -> ProductMLEOracle:
+        """A real (non-stub) consistency constraint with zero hypercube sum.
+
+        For each op i define err(i) = read_flag(i) * (value(i) - last_write
+        (address(i), i)), computed from the witness; a consistent trace gives
+        the all-zero vector, whose MLE sums to zero.  The oracle is the MLE of
+        err — sum-check then proves Σ err = 0 with an honest polynomial
+        rather than the reference's hardwired zero closure (twist.rs:186-214).
+        The ``LessThanPolynomial`` ordering semantics (reference
+        polynomials.rs:198-293) define "last": j < i with max j.
+        """
+        size = 1 << log_ops
+        mem: dict = {}
+        err: List[Fr] = []
+        for i in range(size):
+            addr = int(addresses[i])
+            if int(op_types[i]) == 1:
+                mem[addr] = values[i]
+                err.append(Fr(0))
+            else:
+                expected = mem.get(addr, Fr(0))
+                err.append(values[i] - expected)
+        mle = MultilinearExtension.from_evaluations_vec(log_ops, err)
+        return ProductMLEOracle([mle])
