@@ -1,0 +1,85 @@
+"""Benchmark entry point for the driver.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: the reference's own headline Twist benchmark at memory size 16 —
+write if i % 3 == 0 (value 42*i) else read, 8 operations (the size-tiered
+count for size 16; reference benchmarks.rs:57-99).  The baseline number is
+the reference's published illustrative throughput for that row: 251 prove
+ops/s (BENCHMARK_RESULTS.md:122, BASELINE.md).  vs_baseline > 1 means
+faster than the reference's published figure.
+
+Supplementary metrics (TPU Fr-mul throughput, larger-size prover runs) are
+printed to stderr so stdout stays a single JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    from tnsh.bench.harness import ProtocolBenchmarks
+
+    # Warm-up run (populates interpolation caches the way a server would).
+    ProtocolBenchmarks.benchmark_twist_single(4, 8)
+    best = None
+    for _ in range(3):
+        res = ProtocolBenchmarks.benchmark_twist_single(4, 8)
+        if best is None or res.prove_time < best.prove_time:
+            best = res
+    value = best.prove_ops_per_second()
+    baseline = 251.0  # reference BENCHMARK_RESULTS.md:122 (illustrative)
+    print(
+        f"[bench] twist size=16 ops=8: prove {best.prove_time * 1e3:.2f} ms, "
+        f"verify {best.verify_time * 1e3:.2f} ms, setup {best.setup_time * 1e3:.2f} ms",
+        file=sys.stderr,
+    )
+
+    # Supplementary: vectorized Fr Montgomery-mul throughput on the default
+    # JAX backend (the real TPU chip when run under the driver).
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tnsh.field.fr_jax import fr_mont_mul
+        from tnsh.field.limbs import FR_SPEC, pack_ints
+
+        rng = np.random.default_rng(0)
+        n = 1 << 16
+        vals = [int(v) for v in rng.integers(0, 1 << 62, n)]
+        a = jnp.asarray(pack_ints(vals, FR_SPEC))
+        r = fr_mont_mul(a, a)
+        jax.block_until_ready(r)
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fr_mont_mul(r, a)
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - t0) / iters
+        print(
+            f"[bench] fr_mont_mul[{jax.devices()[0].platform}]: "
+            f"{n / dt / 1e6:.1f} M muls/s ({dt * 1e3:.2f} ms / {n})",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        print(f"[bench] fr_mont_mul skipped: {exc}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "twist_prove_ops_per_s_size16",
+                "value": round(value, 2),
+                "unit": "ops/s",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,19 +1,23 @@
 """Test configuration.
 
-Per the TPU-build ground rules, tests run JAX on a virtual 8-device CPU mesh
-so sharding logic is exercised without real multi-chip hardware.  The env
-vars must be set before the first ``import jax`` anywhere in the test
-process, hence at conftest import time.
+Tests run JAX on a virtual 8-device CPU mesh so sharding logic is exercised
+without real multi-chip hardware.  NOTE: this image's axon sitecustomize
+registers the TPU backend and overrides ``JAX_PLATFORMS`` env settings, so
+forcing CPU requires ``jax.config.update('jax_platforms', 'cpu')`` after
+import (before any backend initialization) — env vars alone are ignored.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,211 @@
+"""TPU/JAX backend tests: exactness vs the host golden path, single-device
+and on the virtual 8-device CPU mesh (conftest forces platform + devices)."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tnsh.core.transcript import Transcript
+from tnsh.field.fr import MODULUS, Fr
+from tnsh.field.g1 import G1
+from tnsh.field.limbs import (
+    FQ_SPEC,
+    FR_SPEC,
+    pack_ints,
+    pack_scalar_bits,
+    unpack_ints,
+)
+from tnsh.field.fr_jax import fr_add, fr_mont_mul, fr_ops, fr_sub
+from tnsh.iop.sumcheck import JaxProductMLEOracle, ProductMLEOracle, SumCheck
+from tnsh.poly import mle_jax
+from tnsh.poly.mle import MultilinearExtension
+
+
+class TestFieldKernels:
+    def test_mont_mul_exact(self):
+        random.seed(11)
+        p = FR_SPEC.modulus
+        xs = [random.randrange(p) for _ in range(50)] + [0, 1, p - 1, p - 2]
+        ys = [random.randrange(p) for _ in range(50)] + [p - 1, 0, p - 1, 1]
+        ax = jnp.asarray(pack_ints(xs, FR_SPEC))
+        ay = jnp.asarray(pack_ints(ys, FR_SPEC))
+        got = unpack_ints(np.asarray(fr_mont_mul(ax, ay)), FR_SPEC)
+        assert got == [x * y % p for x, y in zip(xs, ys)]
+
+    def test_add_sub_exact(self):
+        random.seed(12)
+        p = FR_SPEC.modulus
+        xs = [random.randrange(p) for _ in range(32)]
+        ys = [random.randrange(p) for _ in range(32)]
+        ax = jnp.asarray(pack_ints(xs, FR_SPEC))
+        ay = jnp.asarray(pack_ints(ys, FR_SPEC))
+        assert unpack_ints(np.asarray(fr_add(ax, ay)), FR_SPEC) == [
+            (x + y) % p for x, y in zip(xs, ys)
+        ]
+        assert unpack_ints(np.asarray(fr_sub(ax, ay)), FR_SPEC) == [
+            (x - y) % p for x, y in zip(xs, ys)
+        ]
+
+    def test_chained_2p_domain(self):
+        # (a*b + a - b) * b stays exact across the lazy-reduction domain.
+        random.seed(13)
+        p = FR_SPEC.modulus
+        xs = [random.randrange(p) for _ in range(16)]
+        ys = [random.randrange(p) for _ in range(16)]
+        ax = jnp.asarray(pack_ints(xs, FR_SPEC))
+        ay = jnp.asarray(pack_ints(ys, FR_SPEC))
+        f = jax.jit(
+            lambda a, b: fr_ops.mont_mul(
+                fr_ops.sub(fr_ops.add(fr_ops.mont_mul(a, b), a), b), b
+            )
+        )
+        got = unpack_ints(np.asarray(f(ax, ay)), FR_SPEC)
+        assert got == [(x * y % p + x - y) * y % p for x, y in zip(xs, ys)]
+
+    def test_fq_kernels(self):
+        random.seed(14)
+        q = FQ_SPEC.modulus
+        from tnsh.field.fr_jax import fq_ops
+
+        xs = [random.randrange(q) for _ in range(8)]
+        ax = jnp.asarray(pack_ints(xs, FQ_SPEC))
+        got = unpack_ints(np.asarray(jax.jit(fq_ops.mont_mul)(ax, ax)), FQ_SPEC)
+        assert got == [x * x % q for x in xs]
+
+
+class TestMLEKernels:
+    def _mle(self, n_vars, seed):
+        random.seed(seed)
+        return MultilinearExtension.from_evaluations(
+            [Fr(random.randrange(MODULUS)) for _ in range(1 << n_vars)]
+        )
+
+    def test_fold_matches_host(self):
+        mle = self._mle(4, 21)
+        r = Fr(123456789123456789)
+        table = jnp.asarray(mle_jax.pack_mle(mle.evaluations))
+        folded = mle_jax.fold_jit(table, jnp.asarray(mle_jax.pack_fr_scalar(r)))
+        host = mle.partial_evaluate([r])
+        assert mle_jax.unpack_fr(folded) == host.evaluations
+
+    def test_evaluate_matches_host(self):
+        mle = self._mle(5, 22)
+        random.seed(23)
+        point = [Fr(random.randrange(MODULUS)) for _ in range(5)]
+        table = jnp.asarray(mle_jax.pack_mle(mle.evaluations))
+        out = mle_jax.evaluate(
+            table, [jnp.asarray(mle_jax.pack_fr_scalar(r)) for r in point]
+        )
+        assert mle_jax.unpack_fr(out)[0] == mle.evaluate(point)
+
+    def test_sum_tree_matches_host(self):
+        mle = self._mle(6, 24)
+        table = jnp.asarray(mle_jax.pack_mle(mle.evaluations))
+        assert mle_jax.unpack_fr(mle_jax.sum_tree_jit(table))[0] == (
+            mle.sum_evaluations()
+        )
+
+
+class TestJaxSumcheckOracle:
+    def test_identical_proofs_to_host_oracle(self):
+        random.seed(31)
+        n = 4
+        evals_a = [Fr(random.randrange(MODULUS)) for _ in range(1 << n)]
+        evals_b = [Fr(random.randrange(MODULUS)) for _ in range(1 << n)]
+        mle_a = MultilinearExtension.from_evaluations(evals_a)
+        mle_b = MultilinearExtension.from_evaluations(evals_b)
+        total = Fr(sum(int(a) * int(b) for a, b in zip(evals_a, evals_b)))
+        sc = SumCheck(n, total)
+        seed = bytes([42]) * 32
+        host_proof = sc.prove(ProductMLEOracle([mle_a, mle_b]), Transcript(seed))
+        jax_proof = sc.prove(
+            JaxProductMLEOracle([mle_a, mle_b]), Transcript(seed)
+        )
+        assert host_proof.round_polynomials == jax_proof.round_polynomials
+        assert host_proof.final_evaluation == jax_proof.final_evaluation
+        ok, _ = sc.verify(jax_proof, Transcript(seed))
+        assert ok
+
+
+class TestJaxMSM:
+    def test_msm_exact(self):
+        from tnsh.commit.kzg import msm as msm_host
+        from tnsh.commit.msm_jax import msm_jax
+
+        random.seed(41)
+        g = G1.generator()
+        points = [g * random.randrange(1, 10**9) for _ in range(8)]
+        scalars = [Fr(random.randrange(MODULUS)) for _ in range(8)]
+        assert msm_jax(points, scalars) == msm_host(points, scalars)
+
+    def test_msm_edge_cases(self):
+        from tnsh.commit.kzg import msm as msm_host
+        from tnsh.commit.msm_jax import msm_jax
+
+        g = G1.generator()
+        pts = [g * 7, g * 7, G1.zero(), g * 3, g * 11]
+        scs = [Fr(5), Fr(5), Fr(3), Fr(0), Fr(MODULUS - 1)]
+        assert msm_jax(pts, scs) == msm_host(pts, scs)
+        assert msm_jax([], []).is_zero()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestMesh:
+    def test_sharded_round_matches_host(self):
+        from tnsh.parallel.mesh import make_mesh, sharded_round_step
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        random.seed(51)
+        n = 64
+        evals = [
+            [Fr(random.randrange(MODULUS)) for _ in range(n)] for _ in range(2)
+        ]
+        mles = [MultilinearExtension.from_evaluations(e) for e in evals]
+        mesh = make_mesh(jax.devices()[:8])
+        step = sharded_round_step(mesh, num_factors=2)
+        shard = NamedSharding(mesh, P(None, "data"))
+        tables = tuple(
+            jax.device_put(jnp.asarray(mle_jax.pack_mle(e)), shard)
+            for e in evals
+        )
+        r = Fr(424242)
+        g_evals, folded = step(
+            tables, jnp.asarray(mle_jax.pack_fr_scalar(r))
+        )
+        # Host comparison
+        host = ProductMLEOracle(mles)
+        host_evals = host.round_evaluations(0)
+        assert mle_jax.unpack_fr(g_evals) == host_evals
+        host.bind(r)
+        for f_dev, t_host in zip(folded, host.tables):
+            assert [int(v) for v in mle_jax.unpack_fr(f_dev)] == [
+                v % MODULUS for v in t_host
+            ]
+
+    def test_sharded_msm_matches_host(self):
+        from tnsh.commit.kzg import msm as msm_host
+        from tnsh.commit.msm_jax import _jacobian_to_g1, pack_g1_points
+        from tnsh.parallel.mesh import make_mesh, sharded_msm_fn
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        random.seed(52)
+        g = G1.generator()
+        n = 16
+        points = [g * random.randrange(1, 10**9) for _ in range(n)]
+        scalars = [Fr(random.randrange(MODULUS)) for _ in range(n)]
+        mesh = make_mesh(jax.devices()[:8])
+        fn = sharded_msm_fn(mesh)
+        xs, ys, valid = pack_g1_points(points)
+        bits = pack_scalar_bits([int(s) for s in scalars], num_bits=254)
+        shard = NamedSharding(mesh, P(None, "data"))
+        shard1 = NamedSharding(mesh, P("data"))
+        X, Y, Z = fn(
+            jax.device_put(jnp.asarray(xs), shard),
+            jax.device_put(jnp.asarray(ys), shard),
+            jax.device_put(jnp.asarray(valid), shard1),
+            jax.device_put(jnp.asarray(bits), shard),
+        )
+        assert _jacobian_to_g1(X, Y, Z) == msm_host(points, scalars)

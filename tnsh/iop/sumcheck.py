@@ -176,6 +176,51 @@ class ProductMLEOracle(SumcheckOracle):
         return Fr(prod)
 
 
+class JaxProductMLEOracle(SumcheckOracle):
+    """TPU-backed product-of-MLEs oracle (tnsh.poly.mle_jax kernels).
+
+    Same math as ``ProductMLEOracle`` — fold-based linear-time rounds — but
+    the tables live on device as limb planes and each round is one fused
+    XLA computation.  Outputs are unpacked to canonical host field elements
+    before touching the transcript, so proofs are bit-identical to the host
+    oracle (asserted in tests/test_jax_backend.py).
+    """
+
+    def __init__(self, factors: Sequence[MultilinearExtension], scale: Fr = Fr(1)):
+        import jax.numpy as jnp
+
+        from ..poly import mle_jax
+
+        self._m = mle_jax
+        if not factors:
+            raise SumCheckError("JaxProductMLEOracle needs at least one factor")
+        self.num_vars = factors[0].num_vars
+        for f in factors:
+            if f.num_vars != self.num_vars:
+                raise SumCheckError("factor num_vars mismatch")
+        self.tables = [jnp.asarray(mle_jax.pack_mle(f.evaluations)) for f in factors]
+        self._scale = (
+            None if scale == Fr(1) else jnp.asarray(mle_jax.pack_fr_scalar(scale))
+        )
+
+    def round_evaluations(self, round_index: int) -> List[Fr]:
+        evals = self._m.product_round_evals_jit(self.tables, self._scale)
+        return self._m.unpack_fr(evals)
+
+    def bind(self, challenge: Fr) -> None:
+        import jax.numpy as jnp
+
+        r = jnp.asarray(self._m.pack_fr_scalar(challenge))
+        self.tables = [self._m.fold_jit(t, r) for t in self.tables]
+
+    def final_evaluation(self, challenges: Sequence[Fr]) -> Fr:
+        vals = [self._m.unpack_fr(t)[0] for t in self.tables]
+        prod = Fr(1)
+        for v in vals:
+            prod = prod * v
+        return prod
+
+
 # ---------------------------------------------------------------------------
 # Protocol
 # ---------------------------------------------------------------------------

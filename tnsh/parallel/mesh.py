@@ -1,0 +1,228 @@
+"""Multi-chip sharding: hypercube-partitioned MLEs + sharded MSM over a mesh.
+
+The scale-out layer (SURVEY §2 "Parallelism strategies", §5 long-context /
+communication rows, §7.1 step 9).  The reference's only parallelism is rayon
+``par_iter`` over MLE tables (polynomials.rs:92); here that one axis maps
+onto a real device mesh:
+
+  * **MLE tables** ``(22, N)`` are block-sharded on the lane axis over a 1-D
+    ``Mesh(axis='data')``.  Because lanes are little-endian hypercube
+    indices, contiguous blocks correspond to the SLOWEST variables: folding
+    variable 0 (the sum-check round variable) touches only adjacent lanes
+    inside a shard — zero communication, halving each shard.
+  * **Round evaluations** g(0..3) are shard-local partial sums followed by
+    one exact limb-wise ``psum`` over the mesh.  Limb sums of < 2p values
+    across <= 2^13 devices stay far below int32 range, and a single
+    normalize+reduce after the psum restores canonical planes — the
+    collective itself needs no bignum semantics.
+  * **MSM** partitions points: the 254-step double-and-add is purely lane-
+    local; each shard tree-reduces locally and the per-device partial points
+    are combined by an all-gather + log-tree of group adds.
+
+``prover_step`` builds the full jitted multi-chip sum-check+MSM step used by
+``__graft_entry__.dryrun_multichip`` — real shardings, one compiled module.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..field.fr_jax import fq_ops, fr_ops
+from ..field.limbs import LIMB_BITS, LIMB_MASK, NUM_LIMBS
+
+fr = fr_ops
+fq = fq_ops
+
+L = NUM_LIMBS
+B = LIMB_BITS
+MASK = LIMB_MASK
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    """A 1-D mesh over all (or the given) devices."""
+    devices = list(jax.devices() if devices is None else devices)
+    return Mesh(np.array(devices), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Exact field psum: limb-wise integer psum + renormalization
+# ---------------------------------------------------------------------------
+
+def _renorm_mod(t: jnp.ndarray, p_np: np.ndarray, rounds: int = 9) -> jnp.ndarray:
+    """Bring limb planes with limbs < 2^31 back to a < 2p normalized value.
+
+    After a psum of D shards of 2p-domain values, the (L,) limb sums encode
+    an integer < D * 2p with limbs < D * 2^12.  A carry normalize leaves the
+    value in L limbs (D <= 256 keeps it under 2^264, the layout capacity);
+    conditional subtracts of p * 2^k for k = rounds..0 then reduce into
+    [0, 2p).  Supports mesh axes up to 256 devices — a v5e pod-slice axis.
+    """
+    # carry-normalize into L limbs + overflow captured in extra limbs
+    planes = [t[i] for i in range(t.shape[0])]
+    out = []
+    carry = None
+    for limb in planes:
+        v = limb if carry is None else limb + carry
+        carry = v >> B
+        out.append(v & MASK)
+    # overflow carry: value = out + carry * 2^(B*L).  carry < D small.
+    # 2^(B*L) mod p is a constant; add carry * that constant (limb planes).
+    from ..field.limbs import int_to_limbs
+
+    p_int = 0
+    for i in range(p_np.shape[0]):
+        p_int += int(p_np[i, 0]) << (B * i)
+    r_mod = (1 << (B * L)) % p_int
+    r_planes = np.asarray(int_to_limbs(r_mod), dtype=np.int32)[:, None]
+    acc = jnp.stack(out) + carry[None] * r_planes
+    # acc limbs < 2^12 + D * 2^12; renormalize then subtract shifted moduli
+    planes = [acc[i] for i in range(L)]
+    out = []
+    carry = None
+    for limb in planes:
+        v = limb if carry is None else limb + carry
+        carry = v >> B
+        out.append(v & MASK)
+    acc = jnp.stack(out)  # value < (D+1) * 2p, fits L limbs for D << 2^8
+
+    for k in range(rounds, -1, -1):
+        m = (p_int << k)
+        if m >= (1 << (B * L)):
+            continue
+        m_planes = np.asarray(int_to_limbs(m), dtype=np.int32)[:, None]
+        d = acc - m_planes
+        rows = [d[i] for i in range(L)]
+        outr = []
+        carry = None
+        for limb in rows:
+            v = limb if carry is None else limb + carry
+            carry = v >> B
+            outr.append(v & MASK)
+        ge = carry >= 0
+        acc = jnp.where(ge[None], jnp.stack(outr), acc)
+    return acc
+
+
+def psum_field(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Exact field-element psum across a mesh axis (inside shard_map)."""
+    s = lax.psum(x, axis_name)
+    return _renorm_mod(s, fr.p_planes)
+
+
+# ---------------------------------------------------------------------------
+# Sharded sum-check round (product-of-MLEs oracle)
+# ---------------------------------------------------------------------------
+
+def sharded_round_step(mesh: Mesh, num_factors: int, axis: str = "data"):
+    """Build a jitted sharded round step: tables block-sharded on lanes.
+
+    Returns fn(tables, r) -> (g_evals (22,4) replicated, folded tables).
+    Requires shard_size >= 2 lanes (fold halves each shard).
+    """
+    from ..poly import mle_jax
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(tuple([P(None, axis)] * num_factors), P(None, None)),
+        out_specs=(P(None, None), tuple([P(None, axis)] * num_factors)),
+        check_vma=False,
+    )
+    def step(tables, r):
+        evals_local = mle_jax.product_round_evals(list(tables))
+        evals = psum_field(evals_local, axis)
+        folded = tuple(mle_jax.fold(t, r) for t in tables)
+        return evals, folded
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Sharded MSM
+# ---------------------------------------------------------------------------
+
+def sharded_msm_fn(mesh: Mesh, axis: str = "data"):
+    """Build a jitted sharded MSM: points/scalars block-sharded on lanes.
+
+    Each device runs the 254-bit double-and-add + local tree reduction on
+    its block, then the D per-device partials are all-gathered and combined
+    with a log-tree of Jacobian adds (replicated result).
+    """
+    from ..commit.msm_jax import _msm_kernel, _padd, tree_reduce_points
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(axis,), P(None, axis)),
+        out_specs=(P(None, None), P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    def msm(xs, ys, valid, bits):
+        X, Y, Z = _msm_kernel(xs, ys, valid, bits)  # (L, 1) local partial
+        # gather per-device partials: (L, D)
+        Xg = lax.all_gather(X[:, 0], axis, axis=1)
+        Yg = lax.all_gather(Y[:, 0], axis, axis=1)
+        Zg = lax.all_gather(Z[:, 0], axis, axis=1)
+        Xr, Yr, Zr = tree_reduce_points(Xg, Yg, Zg)
+        return Xr[:, :1], Yr[:, :1], Zr[:, :1]
+
+    return jax.jit(msm)
+
+
+# ---------------------------------------------------------------------------
+# Full multi-chip prover step (dryrun + production entry)
+# ---------------------------------------------------------------------------
+
+def build_sharded_prover_step(mesh: Mesh, num_factors: int = 3, axis: str = "data"):
+    """One fused multi-chip Twist prover step:
+
+      1. sum-check round evaluations over the sharded factor tables (local
+         partial sums + exact psum),
+      2. bind the round challenge (shard-local fold),
+      3. a sharded MSM partial over the (sharded) SRS block.
+
+    This is the "training step" analog the multi-chip dryrun compiles: it
+    exercises data-sharded compute, a psum collective, an all-gather and
+    replicated outputs in a single jitted module.
+    """
+    from ..commit.msm_jax import _msm_kernel, tree_reduce_points
+    from ..poly import mle_jax
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            tuple([P(None, axis)] * num_factors),  # MLE tables
+            P(None, None),                         # round challenge r
+            P(None, axis),                         # SRS x
+            P(None, axis),                         # SRS y
+            P(axis,),                              # valid mask
+            P(None, axis),                         # scalar bits
+        ),
+        out_specs=(
+            P(None, None),
+            tuple([P(None, axis)] * num_factors),
+            (P(None, None), P(None, None), P(None, None)),
+        ),
+        check_vma=False,
+    )
+    def step(tables, r, xs, ys, valid, bits):
+        evals_local = mle_jax.product_round_evals(list(tables))
+        evals = psum_field(evals_local, axis)
+        folded = tuple(mle_jax.fold(t, r) for t in tables)
+        X, Y, Z = _msm_kernel(xs, ys, valid, bits)
+        Xg = lax.all_gather(X[:, 0], axis, axis=1)
+        Yg = lax.all_gather(Y[:, 0], axis, axis=1)
+        Zg = lax.all_gather(Z[:, 0], axis, axis=1)
+        Xr, Yr, Zr = tree_reduce_points(Xg, Yg, Zg)
+        return evals, folded, (Xr[:, :1], Yr[:, :1], Zr[:, :1])
+
+    return jax.jit(step)
