@@ -1,0 +1,223 @@
+"""ctypes loader for the tnsh native host layer (tnsh_native.cpp).
+
+Compiles the shared library with g++ on first import if it is missing or
+stale, then exposes typed wrappers over the C ABI.  Everything degrades
+gracefully: if the toolchain or build is unavailable, ``available`` is False
+and callers fall back to the pure-Python golden path.
+
+ABI conventions: 32-byte little-endian field elements; affine G1 points are
+64 bytes (x || y), affine G2 points 128 bytes (x.c0 || x.c1 || y.c0 || y.c1);
+the all-zero point is the identity.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "tnsh_native.cpp")
+_LIB = os.path.join(_DIR, "libtnsh_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+available = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> None:
+    global _lib, available
+    needs_build = not os.path.exists(_LIB) or (
+        os.path.exists(_SRC)
+        and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+    )
+    if needs_build and not _build():
+        if not os.path.exists(_LIB):
+            return
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        return
+    lib.tnsh_native_version.restype = ctypes.c_int
+    if lib.tnsh_native_version() != 1:
+        return
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    for name, argtypes, restype in [
+        ("fr_interp_range", [c_u8p, ctypes.c_size_t, c_u8p], None),
+        ("fr_horner", [c_u8p, ctypes.c_size_t, c_u8p, c_u8p], None),
+        ("fr_quotient", [c_u8p, ctypes.c_size_t, c_u8p, c_u8p], None),
+        ("g1_scalar_mul_c", [c_u8p, c_u8p, c_u8p], None),
+        ("g1_add_c", [c_u8p, c_u8p, c_u8p], None),
+        ("g1_msm", [c_u8p, c_u8p, ctypes.c_size_t, c_u8p], None),
+        ("g1_fixed_base_batch", [c_u8p, c_u8p, ctypes.c_size_t, c_u8p], None),
+        ("g2_scalar_mul_c", [c_u8p, c_u8p, c_u8p], None),
+        ("g2_add_c", [c_u8p, c_u8p, c_u8p], None),
+        ("g2_neg_c", [c_u8p, c_u8p], None),
+        ("pairing_equal", [c_u8p, c_u8p, c_u8p, c_u8p], ctypes.c_int),
+        (
+            "pairing_product_is_one_c",
+            [c_u8p, c_u8p, ctypes.c_size_t],
+            ctypes.c_int,
+        ),
+    ]:
+        fn = getattr(lib, name)
+        fn.argtypes = argtypes
+        fn.restype = restype
+    _lib = lib
+    available = True
+
+
+_load()
+
+
+def _buf(data: bytes):
+    return ctypes.cast(
+        ctypes.create_string_buffer(data, len(data)),
+        ctypes.POINTER(ctypes.c_uint8),
+    )
+
+
+def _out(n: int):
+    raw = ctypes.create_string_buffer(n)
+    return raw, ctypes.cast(raw, ctypes.POINTER(ctypes.c_uint8))
+
+
+# -- typed helpers over host objects ----------------------------------------
+
+def _g1_to_bytes(p) -> bytes:
+    x, y = p.to_affine()
+    return x.to_bytes(32, "little") + y.to_bytes(32, "little")
+
+
+def _g1_from_bytes(data: bytes):
+    from ..field.g1 import G1
+
+    x = int.from_bytes(data[:32], "little")
+    y = int.from_bytes(data[32:], "little")
+    if x == 0 and y == 0:
+        return G1.zero()
+    return G1(x, y, 1)
+
+
+def _g2_to_bytes(p) -> bytes:
+    (x, y) = p.to_affine()
+    return (
+        x[0].to_bytes(32, "little")
+        + x[1].to_bytes(32, "little")
+        + y[0].to_bytes(32, "little")
+        + y[1].to_bytes(32, "little")
+    )
+
+
+def interp_range(values) -> list:
+    """Native Newton interpolation over {0..n-1} (list of Fr -> list of Fr)."""
+    from ..field.fr import Fr
+
+    n = len(values)
+    if n == 0:
+        return []
+    data = b"".join(int(v).to_bytes(32, "little") for v in values)
+    raw, out = _out(32 * n)
+    _lib.fr_interp_range(_buf(data), n, out)
+    return [Fr(int.from_bytes(raw.raw[32 * i:32 * i + 32], "little")) for i in range(n)]
+
+
+def horner(coeffs, point):
+    from ..field.fr import Fr
+
+    data = b"".join(int(c).to_bytes(32, "little") for c in coeffs)
+    raw, out = _out(32)
+    _lib.fr_horner(_buf(data), len(coeffs), _buf(int(point).to_bytes(32, "little")), out)
+    return Fr(int.from_bytes(raw.raw, "little"))
+
+
+def quotient(coeffs, z) -> list:
+    from ..field.fr import Fr
+
+    n = len(coeffs)
+    if n < 2:
+        return []
+    data = b"".join(int(c).to_bytes(32, "little") for c in coeffs)
+    raw, out = _out(32 * (n - 1))
+    _lib.fr_quotient(_buf(data), n, _buf(int(z).to_bytes(32, "little")), out)
+    return [
+        Fr(int.from_bytes(raw.raw[32 * i:32 * i + 32], "little"))
+        for i in range(n - 1)
+    ]
+
+
+def msm(points, scalars):
+    """Native Pippenger MSM over host G1 points / Fr scalars."""
+    n = min(len(points), len(scalars))
+    pts = b"".join(_g1_to_bytes(p) for p in points[:n])
+    scs = b"".join(int(s).to_bytes(32, "little") for s in scalars[:n])
+    raw, out = _out(64)
+    _lib.g1_msm(_buf(pts), _buf(scs), n, out)
+    return _g1_from_bytes(raw.raw)
+
+
+def g1_scalar_mul(point, scalar):
+    raw, out = _out(64)
+    _lib.g1_scalar_mul_c(
+        _buf(_g1_to_bytes(point)), _buf(int(scalar).to_bytes(32, "little")), out
+    )
+    return _g1_from_bytes(raw.raw)
+
+
+def fixed_base_batch(base, scalars) -> list:
+    """[s * base for s in scalars] with a shared window table (setup path)."""
+    n = len(scalars)
+    if n == 0:
+        return []
+    scs = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    raw, out = _out(64 * n)
+    _lib.g1_fixed_base_batch(_buf(_g1_to_bytes(base)), _buf(scs), n, out)
+    return [
+        _g1_from_bytes(raw.raw[64 * i:64 * i + 64]) for i in range(n)
+    ]
+
+
+def g2_scalar_mul(point, scalar):
+    from ..field.g2 import G2
+
+    raw, out = _out(128)
+    _lib.g2_scalar_mul_c(
+        _buf(_g2_to_bytes(point)), _buf(int(scalar).to_bytes(32, "little")), out
+    )
+    d = raw.raw
+    x = (int.from_bytes(d[:32], "little"), int.from_bytes(d[32:64], "little"))
+    y = (int.from_bytes(d[64:96], "little"), int.from_bytes(d[96:], "little"))
+    if x == (0, 0) and y == (0, 0):
+        return G2.zero()
+    return G2(x, y)
+
+
+def pairing_equal(a1, a2, b1, b2) -> bool:
+    """e(a1, a2) == e(b1, b2) with one shared final exponentiation."""
+    return bool(
+        _lib.pairing_equal(
+            _buf(_g1_to_bytes(a1)),
+            _buf(_g2_to_bytes(a2)),
+            _buf(_g1_to_bytes(b1)),
+            _buf(_g2_to_bytes(b2)),
+        )
+    )
+
+
+def pairing_product_is_one(pairs) -> bool:
+    g1s = b"".join(_g1_to_bytes(p) for p, _ in pairs)
+    g2s = b"".join(_g2_to_bytes(q) for _, q in pairs)
+    return bool(_lib.pairing_product_is_one_c(_buf(g1s), _buf(g2s), len(pairs)))

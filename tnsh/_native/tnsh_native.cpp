@@ -1,0 +1,1281 @@
+// tnsh native host layer — BN254 field/curve/pairing kernels.
+//
+// This is the C++ counterpart of the reference's arkworks dependency stack
+// (SURVEY §2 D1/D2): 4x64-limb Montgomery arithmetic for Fq and Fr, G1/G2
+// Jacobian groups, Pippenger MSM, tower-field (Fq2/Fq6/Fq12) optimal ate
+// pairing, and the Fr polynomial kernels on the prover's host path (Newton
+// interpolation over {0..n-1}, Horner, synthetic division).
+//
+// Exposed as a plain C ABI over little-endian byte buffers (32 B per field
+// element, 64 B per affine G1 point, 128 B per affine G2 point; the identity
+// is all-zero) and loaded from Python with ctypes (tnsh/_native/__init__.py).
+// All values crossing the ABI are canonical standard-form integers; the
+// Montgomery representation is internal.  Every function is exact, so
+// results are bit-identical to the pure-Python golden path (asserted in
+// tests/test_native.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+// ---------------------------------------------------------------------------
+// Generic 4x64 Montgomery field
+// ---------------------------------------------------------------------------
+
+struct Field {
+    u64 p[4];   // modulus, little-endian limbs
+    u64 n0;     // -p^{-1} mod 2^64
+    u64 r2[4];  // R^2 mod p (R = 2^256), Montgomery form of R
+    u64 one[4]; // R mod p, Montgomery form of 1
+};
+
+static bool geq(const u64 a[4], const u64 b[4]) {
+    for (int i = 3; i >= 0; i--) {
+        if (a[i] > b[i]) return true;
+        if (a[i] < b[i]) return false;
+    }
+    return true;
+}
+
+static void sub_raw(u64 r[4], const u64 a[4], const u64 b[4]) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a[i] - b[i] - (u64)borrow;
+        r[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+static void add_mod(u64 r[4], const u64 a[4], const u64 b[4], const Field &F) {
+    u128 carry = 0;
+    u64 t[4];
+    for (int i = 0; i < 4; i++) {
+        u128 s = (u128)a[i] + b[i] + (u64)carry;
+        t[i] = (u64)s;
+        carry = s >> 64;
+    }
+    if (carry || geq(t, F.p)) {
+        sub_raw(r, t, F.p);
+    } else {
+        memcpy(r, t, 32);
+    }
+}
+
+static void sub_mod(u64 r[4], const u64 a[4], const u64 b[4], const Field &F) {
+    if (geq(a, b)) {
+        sub_raw(r, a, b);
+    } else {
+        u64 t[4];
+        u128 carry = 0;
+        for (int i = 0; i < 4; i++) {
+            u128 s = (u128)a[i] + F.p[i] + (u64)carry;
+            t[i] = (u64)s;
+            carry = s >> 64;
+        }
+        sub_raw(r, t, b);
+    }
+}
+
+static void neg_mod(u64 r[4], const u64 a[4], const Field &F) {
+    if ((a[0] | a[1] | a[2] | a[3]) == 0) {
+        memset(r, 0, 32);
+    } else {
+        sub_raw(r, F.p, a);
+    }
+}
+
+// CIOS Montgomery multiplication.
+static void mmul(u64 r[4], const u64 a[4], const u64 b[4], const Field &F) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        u128 c = 0;
+        for (int j = 0; j < 4; j++) {
+            u128 s = (u128)t[j] + (u128)a[i] * b[j] + (u64)c;
+            t[j] = (u64)s;
+            c = s >> 64;
+        }
+        u128 s = (u128)t[4] + (u64)c;
+        t[4] = (u64)s;
+        t[5] = (u64)(s >> 64);
+        u64 m = t[0] * F.n0;
+        c = 0;
+        for (int j = 0; j < 4; j++) {
+            u128 s2 = (u128)t[j] + (u128)m * F.p[j] + (u64)c;
+            t[j] = (u64)s2;
+            c = s2 >> 64;
+        }
+        s = (u128)t[4] + (u64)c;
+        t[4] = (u64)s;
+        u64 carry2 = (u64)(s >> 64);
+        t[0] = t[1];
+        t[1] = t[2];
+        t[2] = t[3];
+        t[3] = t[4];
+        t[4] = t[5] + carry2;
+        t[5] = 0;
+    }
+    if (t[4] || geq(t, F.p)) {
+        sub_raw(r, t, F.p);
+    } else {
+        memcpy(r, t, 32);
+    }
+}
+
+static void msq(u64 r[4], const u64 a[4], const Field &F) { mmul(r, a, a, F); }
+
+static bool is_zero4(const u64 a[4]) {
+    return (a[0] | a[1] | a[2] | a[3]) == 0;
+}
+
+// Montgomery exponentiation (exponent as raw 4x64, NOT Montgomery).
+static void mpow(u64 r[4], const u64 a[4], const u64 e[4], const Field &F) {
+    u64 base[4], acc[4];
+    memcpy(base, a, 32);
+    memcpy(acc, F.one, 32);
+    for (int limb = 0; limb < 4; limb++) {
+        u64 bits = e[limb];
+        for (int i = 0; i < 64; i++) {
+            if ((bits >> i) & 1) mmul(acc, acc, base, F);
+            msq(base, base, F);
+        }
+    }
+    memcpy(r, acc, 32);
+}
+
+static void minv(u64 r[4], const u64 a[4], const Field &F) {
+    u64 e[4];
+    memcpy(e, F.p, 32);
+    // e = p - 2
+    u64 two[4] = {2, 0, 0, 0};
+    sub_raw(e, e, two);
+    mpow(r, a, e, F);
+}
+
+static void to_mont(u64 r[4], const u64 a[4], const Field &F) {
+    mmul(r, a, F.r2, F);
+}
+
+static void from_mont(u64 r[4], const u64 a[4], const Field &F) {
+    u64 one_raw[4] = {1, 0, 0, 0};
+    mmul(r, a, one_raw, F);
+}
+
+static void bytes_to_limbs(u64 out[4], const uint8_t *in) {
+    for (int i = 0; i < 4; i++) {
+        u64 v = 0;
+        for (int j = 7; j >= 0; j--) v = (v << 8) | in[i * 8 + j];
+        out[i] = v;
+    }
+}
+
+static void limbs_to_bytes(uint8_t *out, const u64 in[4]) {
+    for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 8; j++) out[i * 8 + j] = (uint8_t)(in[i] >> (8 * j));
+}
+
+static Field make_field(const u64 p[4]) {
+    Field F;
+    memcpy(F.p, p, 32);
+    // n0 = -p^{-1} mod 2^64 by Newton iteration
+    u64 inv = p[0];
+    for (int i = 0; i < 6; i++) inv *= 2 - p[0] * inv;
+    F.n0 = (u64)(0 - inv);
+    // one = R mod p: start from 2^255 mod p... build by doubling 1, 256x
+    u64 acc[4] = {1, 0, 0, 0};
+    for (int i = 0; i < 256; i++) add_mod(acc, acc, acc, F);
+    memcpy(F.one, acc, 32);
+    // r2 = R^2 mod p: double 256 more times
+    for (int i = 0; i < 256; i++) add_mod(acc, acc, acc, F);
+    memcpy(F.r2, acc, 32);
+    return F;
+}
+
+// BN254 moduli
+static const u64 FQ_P[4] = {0x3c208c16d87cfd47ULL, 0x97816a916871ca8dULL,
+                            0xb85045b68181585dULL, 0x30644e72e131a029ULL};
+static const u64 FR_P[4] = {0x43e1f593f0000001ULL, 0x2833e84879b97091ULL,
+                            0xb85045b68181585dULL, 0x30644e72e131a029ULL};
+
+static Field FQ = make_field(FQ_P);
+static Field FR = make_field(FR_P);
+
+// BN curve parameter 6u+2 (Miller loop count) = 29793968203157093288 — 65
+// bits, so stored as u128.
+static const u128 ATE_LOOP = (((u128)1) << 64) | 11347224129447541672ULL;
+
+// ---------------------------------------------------------------------------
+// Fq2 = Fq[i]/(i^2 + 1)
+// ---------------------------------------------------------------------------
+
+struct Fq2 {
+    u64 c0[4], c1[4];
+};
+
+static Fq2 fq2_zero() { Fq2 r; memset(&r, 0, sizeof(r)); return r; }
+static Fq2 fq2_one() { Fq2 r = fq2_zero(); memcpy(r.c0, FQ.one, 32); return r; }
+
+static bool fq2_is_zero(const Fq2 &a) { return is_zero4(a.c0) && is_zero4(a.c1); }
+static bool fq2_eq(const Fq2 &a, const Fq2 &b) {
+    return memcmp(a.c0, b.c0, 32) == 0 && memcmp(a.c1, b.c1, 32) == 0;
+}
+
+static Fq2 fq2_add(const Fq2 &a, const Fq2 &b) {
+    Fq2 r;
+    add_mod(r.c0, a.c0, b.c0, FQ);
+    add_mod(r.c1, a.c1, b.c1, FQ);
+    return r;
+}
+
+static Fq2 fq2_sub(const Fq2 &a, const Fq2 &b) {
+    Fq2 r;
+    sub_mod(r.c0, a.c0, b.c0, FQ);
+    sub_mod(r.c1, a.c1, b.c1, FQ);
+    return r;
+}
+
+static Fq2 fq2_neg(const Fq2 &a) {
+    Fq2 r;
+    neg_mod(r.c0, a.c0, FQ);
+    neg_mod(r.c1, a.c1, FQ);
+    return r;
+}
+
+static Fq2 fq2_mul(const Fq2 &a, const Fq2 &b) {
+    // Karatsuba: (a0+a1 i)(b0+b1 i) = a0b0 - a1b1 + ((a0+a1)(b0+b1)-a0b0-a1b1) i
+    u64 t0[4], t1[4], s0[4], s1[4], s2[4];
+    mmul(t0, a.c0, b.c0, FQ);
+    mmul(t1, a.c1, b.c1, FQ);
+    add_mod(s0, a.c0, a.c1, FQ);
+    add_mod(s1, b.c0, b.c1, FQ);
+    mmul(s2, s0, s1, FQ);
+    Fq2 r;
+    sub_mod(r.c0, t0, t1, FQ);
+    sub_mod(s2, s2, t0, FQ);
+    sub_mod(r.c1, s2, t1, FQ);
+    return r;
+}
+
+static Fq2 fq2_sqr(const Fq2 &a) { return fq2_mul(a, a); }
+
+static Fq2 fq2_scalar(const Fq2 &a, const u64 k[4]) {  // k in Montgomery
+    Fq2 r;
+    mmul(r.c0, a.c0, k, FQ);
+    mmul(r.c1, a.c1, k, FQ);
+    return r;
+}
+
+static Fq2 fq2_dbl(const Fq2 &a) { return fq2_add(a, a); }
+
+static Fq2 fq2_inv(const Fq2 &a) {
+    u64 t0[4], t1[4], n[4], ninv[4];
+    msq(t0, a.c0, FQ);
+    msq(t1, a.c1, FQ);
+    add_mod(n, t0, t1, FQ);
+    minv(ninv, n, FQ);
+    Fq2 r;
+    mmul(r.c0, a.c0, ninv, FQ);
+    u64 nc1[4];
+    neg_mod(nc1, a.c1, FQ);
+    mmul(r.c1, nc1, ninv, FQ);
+    return r;
+}
+
+// xi = 9 + i (the sextic non-residue for the tower)
+static Fq2 fq2_mul_by_xi(const Fq2 &a) {
+    // (9 a0 - a1) + (a0 + 9 a1) i
+    u64 t[4], nine_a0[4], nine_a1[4];
+    Fq2 r;
+    memcpy(t, a.c0, 32);
+    add_mod(t, t, t, FQ);          // 2a0
+    add_mod(t, t, t, FQ);          // 4a0
+    add_mod(t, t, t, FQ);          // 8a0
+    add_mod(nine_a0, t, a.c0, FQ); // 9a0
+    memcpy(t, a.c1, 32);
+    add_mod(t, t, t, FQ);
+    add_mod(t, t, t, FQ);
+    add_mod(t, t, t, FQ);
+    add_mod(nine_a1, t, a.c1, FQ);
+    sub_mod(r.c0, nine_a0, a.c1, FQ);
+    add_mod(r.c1, a.c0, nine_a1, FQ);
+    return r;
+}
+
+static Fq2 fq2_conj(const Fq2 &a) {
+    Fq2 r;
+    memcpy(r.c0, a.c0, 32);
+    neg_mod(r.c1, a.c1, FQ);
+    return r;
+}
+
+// ---------------------------------------------------------------------------
+// Fq6 = Fq2[v]/(v^3 - xi), Fq12 = Fq6[w]/(w^2 - v)
+// ---------------------------------------------------------------------------
+
+struct Fq6 {
+    Fq2 c0, c1, c2;
+};
+
+struct Fq12 {
+    Fq6 c0, c1;
+};
+
+static Fq6 fq6_zero() { Fq6 r; memset(&r, 0, sizeof(r)); return r; }
+static Fq6 fq6_one() { Fq6 r = fq6_zero(); r.c0 = fq2_one(); return r; }
+
+static Fq6 fq6_add(const Fq6 &a, const Fq6 &b) {
+    Fq6 r;
+    r.c0 = fq2_add(a.c0, b.c0);
+    r.c1 = fq2_add(a.c1, b.c1);
+    r.c2 = fq2_add(a.c2, b.c2);
+    return r;
+}
+
+static Fq6 fq6_sub(const Fq6 &a, const Fq6 &b) {
+    Fq6 r;
+    r.c0 = fq2_sub(a.c0, b.c0);
+    r.c1 = fq2_sub(a.c1, b.c1);
+    r.c2 = fq2_sub(a.c2, b.c2);
+    return r;
+}
+
+static Fq6 fq6_neg(const Fq6 &a) {
+    Fq6 r;
+    r.c0 = fq2_neg(a.c0);
+    r.c1 = fq2_neg(a.c1);
+    r.c2 = fq2_neg(a.c2);
+    return r;
+}
+
+static Fq6 fq6_mul(const Fq6 &a, const Fq6 &b) {
+    Fq2 aa = fq2_mul(a.c0, b.c0);
+    Fq2 bb = fq2_mul(a.c1, b.c1);
+    Fq2 cc = fq2_mul(a.c2, b.c2);
+    Fq2 t1 = fq2_sub(fq2_sub(fq2_mul(fq2_add(a.c1, a.c2), fq2_add(b.c1, b.c2)), bb), cc);
+    Fq2 t2 = fq2_sub(fq2_sub(fq2_mul(fq2_add(a.c0, a.c1), fq2_add(b.c0, b.c1)), aa), bb);
+    Fq2 t3 = fq2_sub(fq2_sub(fq2_mul(fq2_add(a.c0, a.c2), fq2_add(b.c0, b.c2)), aa), cc);
+    Fq6 r;
+    r.c0 = fq2_add(aa, fq2_mul_by_xi(t1));
+    r.c1 = fq2_add(t2, fq2_mul_by_xi(cc));
+    r.c2 = fq2_add(t3, bb);
+    return r;
+}
+
+static Fq6 fq6_sqr(const Fq6 &a) { return fq6_mul(a, a); }
+
+// multiply by v: (c0, c1, c2) -> (xi*c2, c0, c1)
+static Fq6 fq6_mul_by_v(const Fq6 &a) {
+    Fq6 r;
+    r.c0 = fq2_mul_by_xi(a.c2);
+    r.c1 = a.c0;
+    r.c2 = a.c1;
+    return r;
+}
+
+static Fq6 fq6_inv(const Fq6 &a) {
+    // Standard minors formula.
+    Fq2 c0 = fq2_sub(fq2_sqr(a.c0), fq2_mul_by_xi(fq2_mul(a.c1, a.c2)));
+    Fq2 c1 = fq2_sub(fq2_mul_by_xi(fq2_sqr(a.c2)), fq2_mul(a.c0, a.c1));
+    Fq2 c2 = fq2_sub(fq2_sqr(a.c1), fq2_mul(a.c0, a.c2));
+    Fq2 t = fq2_add(
+        fq2_mul_by_xi(fq2_add(fq2_mul(a.c2, c1), fq2_mul(a.c1, c2))),
+        fq2_mul(a.c0, c0));
+    Fq2 tinv = fq2_inv(t);
+    Fq6 r;
+    r.c0 = fq2_mul(c0, tinv);
+    r.c1 = fq2_mul(c1, tinv);
+    r.c2 = fq2_mul(c2, tinv);
+    return r;
+}
+
+static Fq12 fq12_one() { Fq12 r; r.c0 = fq6_one(); r.c1 = fq6_zero(); return r; }
+
+static bool fq12_eq(const Fq12 &a, const Fq12 &b) {
+    return memcmp(&a, &b, sizeof(Fq12)) == 0;
+}
+
+static Fq12 fq12_mul(const Fq12 &a, const Fq12 &b) {
+    Fq6 aa = fq6_mul(a.c0, b.c0);
+    Fq6 bb = fq6_mul(a.c1, b.c1);
+    Fq12 r;
+    r.c0 = fq6_add(aa, fq6_mul_by_v(bb));
+    r.c1 = fq6_sub(fq6_sub(fq6_mul(fq6_add(a.c0, a.c1), fq6_add(b.c0, b.c1)), aa), bb);
+    return r;
+}
+
+static Fq12 fq12_sqr(const Fq12 &a) { return fq12_mul(a, a); }
+
+static Fq12 fq12_conj(const Fq12 &a) {
+    Fq12 r;
+    r.c0 = a.c0;
+    r.c1 = fq6_neg(a.c1);
+    return r;
+}
+
+static Fq12 fq12_inv(const Fq12 &a) {
+    Fq6 t = fq6_sub(fq6_sqr(a.c0), fq6_mul_by_v(fq6_sqr(a.c1)));
+    Fq6 tinv = fq6_inv(t);
+    Fq12 r;
+    r.c0 = fq6_mul(a.c0, tinv);
+    r.c1 = fq6_neg(fq6_mul(a.c1, tinv));
+    return r;
+}
+
+// pow by a big exponent given as little-endian u64 limbs
+static Fq12 fq12_pow(const Fq12 &a, const u64 *e, int nlimbs) {
+    Fq12 acc = fq12_one();
+    Fq12 base = a;
+    for (int limb = 0; limb < nlimbs; limb++) {
+        u64 bits = e[limb];
+        for (int i = 0; i < 64; i++) {
+            if ((bits >> i) & 1) acc = fq12_mul(acc, base);
+            base = fq12_sqr(base);
+        }
+    }
+    return acc;
+}
+
+// ---------------------------------------------------------------------------
+// G1 (Jacobian over Fq)
+// ---------------------------------------------------------------------------
+
+struct G1J {
+    u64 X[4], Y[4], Z[4];
+};
+
+static bool g1_is_zero(const G1J &p) { return is_zero4(p.Z); }
+
+static G1J g1_zero() {
+    G1J r;
+    memcpy(r.X, FQ.one, 32);
+    memcpy(r.Y, FQ.one, 32);
+    memset(r.Z, 0, 32);
+    return r;
+}
+
+static G1J g1_dbl(const G1J &p) {
+    if (g1_is_zero(p)) return p;
+    u64 A[4], Bv[4], C[4], D[4], E[4], Fv[4], t[4], X3[4], Y3[4], Z3[4];
+    msq(A, p.X, FQ);
+    msq(Bv, p.Y, FQ);
+    msq(C, Bv, FQ);
+    add_mod(t, p.X, Bv, FQ);
+    msq(t, t, FQ);
+    sub_mod(t, t, A, FQ);
+    sub_mod(t, t, C, FQ);
+    add_mod(D, t, t, FQ);
+    add_mod(E, A, A, FQ);
+    add_mod(E, E, A, FQ);
+    msq(Fv, E, FQ);
+    add_mod(t, D, D, FQ);
+    sub_mod(X3, Fv, t, FQ);
+    sub_mod(t, D, X3, FQ);
+    mmul(Y3, E, t, FQ);
+    add_mod(t, C, C, FQ);
+    add_mod(t, t, t, FQ);
+    add_mod(t, t, t, FQ);  // 8C
+    sub_mod(Y3, Y3, t, FQ);
+    mmul(Z3, p.Y, p.Z, FQ);
+    add_mod(Z3, Z3, Z3, FQ);
+    G1J r;
+    memcpy(r.X, X3, 32);
+    memcpy(r.Y, Y3, 32);
+    memcpy(r.Z, Z3, 32);
+    return r;
+}
+
+static G1J g1_add(const G1J &p, const G1J &q) {
+    if (g1_is_zero(p)) return q;
+    if (g1_is_zero(q)) return p;
+    u64 Z1Z1[4], Z2Z2[4], U1[4], U2[4], S1[4], S2[4], H[4], I[4], J[4], rr[4],
+        V[4], t[4], X3[4], Y3[4], Z3[4];
+    msq(Z1Z1, p.Z, FQ);
+    msq(Z2Z2, q.Z, FQ);
+    mmul(U1, p.X, Z2Z2, FQ);
+    mmul(U2, q.X, Z1Z1, FQ);
+    mmul(S1, p.Y, q.Z, FQ);
+    mmul(S1, S1, Z2Z2, FQ);
+    mmul(S2, q.Y, p.Z, FQ);
+    mmul(S2, S2, Z1Z1, FQ);
+    sub_mod(H, U2, U1, FQ);
+    sub_mod(rr, S2, S1, FQ);
+    if (is_zero4(H)) {
+        if (is_zero4(rr)) return g1_dbl(p);
+        return g1_zero();
+    }
+    add_mod(rr, rr, rr, FQ);
+    add_mod(t, H, H, FQ);
+    msq(I, t, FQ);
+    mmul(J, H, I, FQ);
+    mmul(V, U1, I, FQ);
+    msq(X3, rr, FQ);
+    sub_mod(X3, X3, J, FQ);
+    add_mod(t, V, V, FQ);
+    sub_mod(X3, X3, t, FQ);
+    sub_mod(t, V, X3, FQ);
+    mmul(Y3, rr, t, FQ);
+    mmul(t, S1, J, FQ);
+    add_mod(t, t, t, FQ);
+    sub_mod(Y3, Y3, t, FQ);
+    mmul(Z3, p.Z, q.Z, FQ);
+    mmul(Z3, Z3, H, FQ);
+    add_mod(Z3, Z3, Z3, FQ);
+    G1J r;
+    memcpy(r.X, X3, 32);
+    memcpy(r.Y, Y3, 32);
+    memcpy(r.Z, Z3, 32);
+    return r;
+}
+
+static void g1_to_affine(const G1J &p, u64 x[4], u64 y[4]) {
+    if (g1_is_zero(p)) {
+        memset(x, 0, 32);
+        memset(y, 0, 32);
+        return;
+    }
+    u64 zinv[4], zinv2[4];
+    minv(zinv, p.Z, FQ);
+    msq(zinv2, zinv, FQ);
+    mmul(x, p.X, zinv2, FQ);
+    mmul(y, p.Y, zinv2, FQ);
+    mmul(y, y, zinv, FQ);
+}
+
+// bytes (affine standard form) -> Jacobian Montgomery; (0,0) = identity
+static G1J g1_from_bytes(const uint8_t *buf) {
+    u64 x[4], y[4];
+    bytes_to_limbs(x, buf);
+    bytes_to_limbs(y, buf + 32);
+    if (is_zero4(x) && is_zero4(y)) return g1_zero();
+    G1J r;
+    to_mont(r.X, x, FQ);
+    to_mont(r.Y, y, FQ);
+    memcpy(r.Z, FQ.one, 32);
+    return r;
+}
+
+static void g1_to_bytes(uint8_t *buf, const G1J &p) {
+    u64 x[4], y[4], xs[4], ys[4];
+    g1_to_affine(p, x, y);
+    from_mont(xs, x, FQ);
+    from_mont(ys, y, FQ);
+    limbs_to_bytes(buf, xs);
+    limbs_to_bytes(buf + 32, ys);
+}
+
+static G1J g1_scalar_mul_j(const G1J &p, const u64 k[4]) {
+    // 4-bit windowed
+    G1J table[16];
+    table[0] = g1_zero();
+    table[1] = p;
+    for (int i = 2; i < 16; i++) table[i] = g1_add(table[i - 1], p);
+    G1J acc = g1_zero();
+    bool started = false;
+    for (int limb = 3; limb >= 0; limb--) {
+        for (int nib = 15; nib >= 0; nib--) {
+            if (started) {
+                acc = g1_dbl(acc);
+                acc = g1_dbl(acc);
+                acc = g1_dbl(acc);
+                acc = g1_dbl(acc);
+            }
+            int d = (int)((k[limb] >> (nib * 4)) & 0xF);
+            if (d) {
+                acc = g1_add(acc, table[d]);
+                started = true;
+            } else if (started) {
+                // nothing
+            }
+        }
+    }
+    return acc;
+}
+
+// ---------------------------------------------------------------------------
+// G2 (Jacobian over Fq2)
+// ---------------------------------------------------------------------------
+
+struct G2J {
+    Fq2 X, Y, Z;
+};
+
+static bool g2_is_zero(const G2J &p) { return fq2_is_zero(p.Z); }
+
+static G2J g2_zero() {
+    G2J r;
+    r.X = fq2_one();
+    r.Y = fq2_one();
+    r.Z = fq2_zero();
+    return r;
+}
+
+static G2J g2_dbl(const G2J &p) {
+    if (g2_is_zero(p)) return p;
+    Fq2 A = fq2_sqr(p.X);
+    Fq2 B = fq2_sqr(p.Y);
+    Fq2 C = fq2_sqr(B);
+    Fq2 t = fq2_sqr(fq2_add(p.X, B));
+    t = fq2_sub(fq2_sub(t, A), C);
+    Fq2 D = fq2_dbl(t);
+    Fq2 E = fq2_add(fq2_dbl(A), A);
+    Fq2 F = fq2_sqr(E);
+    G2J r;
+    r.X = fq2_sub(F, fq2_dbl(D));
+    Fq2 C8 = fq2_dbl(fq2_dbl(fq2_dbl(C)));
+    r.Y = fq2_sub(fq2_mul(E, fq2_sub(D, r.X)), C8);
+    r.Z = fq2_dbl(fq2_mul(p.Y, p.Z));
+    return r;
+}
+
+static G2J g2_add(const G2J &p, const G2J &q) {
+    if (g2_is_zero(p)) return q;
+    if (g2_is_zero(q)) return p;
+    Fq2 Z1Z1 = fq2_sqr(p.Z);
+    Fq2 Z2Z2 = fq2_sqr(q.Z);
+    Fq2 U1 = fq2_mul(p.X, Z2Z2);
+    Fq2 U2 = fq2_mul(q.X, Z1Z1);
+    Fq2 S1 = fq2_mul(fq2_mul(p.Y, q.Z), Z2Z2);
+    Fq2 S2 = fq2_mul(fq2_mul(q.Y, p.Z), Z1Z1);
+    Fq2 H = fq2_sub(U2, U1);
+    Fq2 rr = fq2_sub(S2, S1);
+    if (fq2_is_zero(H)) {
+        if (fq2_is_zero(rr)) return g2_dbl(p);
+        return g2_zero();
+    }
+    rr = fq2_dbl(rr);
+    Fq2 I = fq2_sqr(fq2_dbl(H));
+    Fq2 J = fq2_mul(H, I);
+    Fq2 V = fq2_mul(U1, I);
+    G2J r;
+    r.X = fq2_sub(fq2_sub(fq2_sqr(rr), J), fq2_dbl(V));
+    r.Y = fq2_sub(fq2_mul(rr, fq2_sub(V, r.X)),
+                  fq2_dbl(fq2_mul(S1, J)));
+    r.Z = fq2_dbl(fq2_mul(fq2_mul(p.Z, q.Z), H));
+    return r;
+}
+
+static void g2_to_affine(const G2J &p, Fq2 &x, Fq2 &y) {
+    if (g2_is_zero(p)) {
+        x = fq2_zero();
+        y = fq2_zero();
+        return;
+    }
+    Fq2 zinv = fq2_inv(p.Z);
+    Fq2 zinv2 = fq2_sqr(zinv);
+    x = fq2_mul(p.X, zinv2);
+    y = fq2_mul(fq2_mul(p.Y, zinv2), zinv);
+}
+
+static G2J g2_from_bytes(const uint8_t *buf) {
+    u64 a[4];
+    G2J r;
+    bytes_to_limbs(a, buf);
+    to_mont(r.X.c0, a, FQ);
+    bytes_to_limbs(a, buf + 32);
+    to_mont(r.X.c1, a, FQ);
+    bytes_to_limbs(a, buf + 64);
+    to_mont(r.Y.c0, a, FQ);
+    bytes_to_limbs(a, buf + 96);
+    to_mont(r.Y.c1, a, FQ);
+    if (fq2_is_zero(r.X) && fq2_is_zero(r.Y)) return g2_zero();
+    r.Z = fq2_one();
+    return r;
+}
+
+static void g2_to_bytes(uint8_t *buf, const G2J &p) {
+    Fq2 x, y;
+    g2_to_affine(p, x, y);
+    u64 s[4];
+    from_mont(s, x.c0, FQ);
+    limbs_to_bytes(buf, s);
+    from_mont(s, x.c1, FQ);
+    limbs_to_bytes(buf + 32, s);
+    from_mont(s, y.c0, FQ);
+    limbs_to_bytes(buf + 64, s);
+    from_mont(s, y.c1, FQ);
+    limbs_to_bytes(buf + 96, s);
+}
+
+static G2J g2_scalar_mul_j(const G2J &p, const u64 k[4]) {
+    G2J table[16];
+    table[0] = g2_zero();
+    table[1] = p;
+    for (int i = 2; i < 16; i++) table[i] = g2_add(table[i - 1], p);
+    G2J acc = g2_zero();
+    bool started = false;
+    for (int limb = 3; limb >= 0; limb--) {
+        for (int nib = 15; nib >= 0; nib--) {
+            if (started) {
+                acc = g2_dbl(acc);
+                acc = g2_dbl(acc);
+                acc = g2_dbl(acc);
+                acc = g2_dbl(acc);
+            }
+            int d = (int)((k[limb] >> (nib * 4)) & 0xF);
+            if (d) {
+                acc = g2_add(acc, table[d]);
+                started = true;
+            }
+        }
+    }
+    return acc;
+}
+
+// ---------------------------------------------------------------------------
+// Pairing: optimal ate, untwisted affine line functions over Fq12
+// ---------------------------------------------------------------------------
+//
+// G2 points untwist into E(Fq12): x' = x * v (Fq6 c1-slot), y' = y * v * w.
+// Affine Miller loop matches the validated Python implementation
+// (tnsh/field/pairing.py) structurally; the tower basis here satisfies
+// w^2 = v, v^3 = xi = 9 + i, i.e. the same field with w^6 = xi.
+
+struct PtE12 {
+    Fq12 x, y;
+};
+
+static Fq12 fq12_from_fq(const u64 a_mont[4]) {
+    Fq12 r;
+    memset(&r, 0, sizeof(r));
+    memcpy(r.c0.c0.c0, a_mont, 32);
+    return r;
+}
+
+// x in Fq2 -> x * v  (c0 slot empty, c1 slot = x)
+static Fq12 fq12_from_fq2_times_v(const Fq2 &x) {
+    Fq12 r;
+    memset(&r, 0, sizeof(r));
+    r.c0.c1 = x;
+    return r;
+}
+
+// y in Fq2 -> y * v * w
+static Fq12 fq12_from_fq2_times_vw(const Fq2 &y) {
+    Fq12 r;
+    memset(&r, 0, sizeof(r));
+    r.c1.c1 = y;
+    return r;
+}
+
+static PtE12 untwist(const Fq2 &x, const Fq2 &y) {
+    PtE12 p;
+    p.x = fq12_from_fq2_times_v(x);
+    p.y = fq12_from_fq2_times_vw(y);
+    return p;
+}
+
+static Fq12 fq12_sub_(const Fq12 &a, const Fq12 &b) {
+    Fq12 r;
+    r.c0 = fq6_sub(a.c0, b.c0);
+    r.c1 = fq6_sub(a.c1, b.c1);
+    return r;
+}
+
+static Fq12 fq12_add_(const Fq12 &a, const Fq12 &b) {
+    Fq12 r;
+    r.c0 = fq6_add(a.c0, b.c0);
+    r.c1 = fq6_add(a.c1, b.c1);
+    return r;
+}
+
+static Fq12 fq12_dbl_(const Fq12 &a) { return fq12_add_(a, a); }
+
+static PtE12 pt_dbl(const PtE12 &p) {
+    // m = 3x^2 / 2y
+    Fq12 xx = fq12_sqr(p.x);
+    Fq12 num = fq12_add_(fq12_dbl_(xx), xx);
+    Fq12 m = fq12_mul(num, fq12_inv(fq12_dbl_(p.y)));
+    PtE12 r;
+    r.x = fq12_sub_(fq12_sqr(m), fq12_dbl_(p.x));
+    r.y = fq12_sub_(fq12_mul(m, fq12_sub_(p.x, r.x)), p.y);
+    return r;
+}
+
+static PtE12 pt_add(const PtE12 &p1, const PtE12 &p2) {
+    if (fq12_eq(p1.x, p2.x) && fq12_eq(p1.y, p2.y)) return pt_dbl(p1);
+    Fq12 m = fq12_mul(fq12_sub_(p2.y, p1.y), fq12_inv(fq12_sub_(p2.x, p1.x)));
+    PtE12 r;
+    r.x = fq12_sub_(fq12_sub_(fq12_sqr(m), p1.x), p2.x);
+    r.y = fq12_sub_(fq12_mul(m, fq12_sub_(p1.x, r.x)), p1.y);
+    return r;
+}
+
+static Fq12 linefunc(const PtE12 &p1, const PtE12 &p2, const Fq12 &xt,
+                     const Fq12 &yt) {
+    if (!fq12_eq(p1.x, p2.x)) {
+        Fq12 m = fq12_mul(fq12_sub_(p2.y, p1.y), fq12_inv(fq12_sub_(p2.x, p1.x)));
+        return fq12_sub_(fq12_mul(m, fq12_sub_(xt, p1.x)), fq12_sub_(yt, p1.y));
+    }
+    if (fq12_eq(p1.y, p2.y)) {
+        Fq12 xx = fq12_sqr(p1.x);
+        Fq12 num = fq12_add_(fq12_dbl_(xx), xx);
+        Fq12 m = fq12_mul(num, fq12_inv(fq12_dbl_(p1.y)));
+        return fq12_sub_(fq12_mul(m, fq12_sub_(xt, p1.x)), fq12_sub_(yt, p1.y));
+    }
+    return fq12_sub_(xt, p1.x);
+}
+
+// Frobenius x -> x^q on Fq12 via exponentiation (slow path, done twice per
+// Miller loop; acceptable at verify frequencies).
+static Fq12 fq12_frob_fast(const Fq12 &a);
+static Fq12 fq12_frob(const Fq12 &a) { return fq12_frob_fast(a); }
+
+static Fq12 miller_loop(const Fq2 &qx, const Fq2 &qy, const u64 px_m[4],
+                        const u64 py_m[4]) {
+    PtE12 Q = untwist(qx, qy);
+    Fq12 xt = fq12_from_fq(px_m);
+    Fq12 yt = fq12_from_fq(py_m);
+    PtE12 R = Q;
+    Fq12 f = fq12_one();
+    int top = 127;
+    while (top >= 0 && !((u64)((ATE_LOOP >> top) & 1))) top--;
+    for (int i = top - 1; i >= 0; i--) {
+        f = fq12_mul(fq12_sqr(f), linefunc(R, R, xt, yt));
+        R = pt_dbl(R);
+        if ((u64)((ATE_LOOP >> i) & 1)) {
+            f = fq12_mul(f, linefunc(R, Q, xt, yt));
+            R = pt_add(R, Q);
+        }
+    }
+    PtE12 Q1;
+    Q1.x = fq12_frob(Q.x);
+    Q1.y = fq12_frob(Q.y);
+    PtE12 nQ2;
+    nQ2.x = fq12_frob(Q1.x);
+    nQ2.y = fq12_frob(Q1.y);
+    nQ2.y.c0 = fq6_neg(nQ2.y.c0);
+    nQ2.y.c1 = fq6_neg(nQ2.y.c1);
+    f = fq12_mul(f, linefunc(R, Q1, xt, yt));
+    R = pt_add(R, Q1);
+    f = fq12_mul(f, linefunc(R, nQ2, xt, yt));
+    return f;
+}
+
+// ---- fast Frobenius via precomputed gamma = xi^((q-1)/6) powers ----
+
+static Fq2 fq2_pow(const Fq2 &a, const u64 *e, int nlimbs) {
+    Fq2 acc = fq2_one();
+    Fq2 base = a;
+    for (int limb = 0; limb < nlimbs; limb++) {
+        u64 bits = e[limb];
+        for (int i = 0; i < 64; i++) {
+            if ((bits >> i) & 1) acc = fq2_mul(acc, base);
+            base = fq2_sqr(base);
+        }
+    }
+    return acc;
+}
+
+static const u64 Q_MINUS1_DIV6[4] = {0x34b017592414d4e1ULL, 0xee9591c2e6bda1c2ULL, 0xf40d60f3c0403964ULL, 0x0810b7bdd032f006ULL};
+
+static Fq2 FROB_GAMMA[6];
+static bool FROB_READY = false;
+
+static void init_frob() {
+    // xi = 9 + i in Montgomery form
+    Fq2 xi = fq2_zero();
+    u64 nine_raw[4] = {9, 0, 0, 0};
+    to_mont(xi.c0, nine_raw, FQ);
+    memcpy(xi.c1, FQ.one, 32);
+    Fq2 g = fq2_pow(xi, Q_MINUS1_DIV6, 4);
+    FROB_GAMMA[0] = fq2_one();
+    for (int i = 1; i < 6; i++) FROB_GAMMA[i] = fq2_mul(FROB_GAMMA[i - 1], g);
+    FROB_READY = true;
+}
+
+// x -> x^q: conjugate each Fq2 coefficient, multiply slot (j,k) by
+// gamma^(2j+k)  (v^q = gamma^2 v, w^q = gamma w).
+static Fq12 fq12_frob_fast(const Fq12 &a) {
+    if (!FROB_READY) init_frob();
+    Fq12 r;
+    const Fq2 *in[6] = {&a.c0.c0, &a.c0.c1, &a.c0.c2,
+                        &a.c1.c0, &a.c1.c1, &a.c1.c2};
+    Fq2 *out[6] = {&r.c0.c0, &r.c0.c1, &r.c0.c2,
+                   &r.c1.c0, &r.c1.c1, &r.c1.c2};
+    for (int k = 0; k < 2; k++)
+        for (int j = 0; j < 3; j++) {
+            int slot = k * 3 + j;
+            *out[slot] = fq2_mul(fq2_conj(*in[slot]), FROB_GAMMA[2 * j + k]);
+        }
+    return r;
+}
+
+static const u64 HARD_EXP_LIMBS[12] = {
+    0xe81bb482ccdf42b1ULL, 0x5abf5cc4f49c36d4ULL, 0xf1154e7e1da014fdULL, 0xdcc7b44c87cdbacfULL,
+    0xaaa441e3954bcf8aULL, 0x6b887d56d5095f23ULL, 0x79581e16f3fd90c6ULL, 0x3b1b1355d189227dULL,
+    0x4e529a5861876f6bULL, 0x6c0eb522d5b12278ULL, 0x331ec15183177fafULL, 0x01baaa710b0759adULL};
+static const int HARD_EXP_NLIMBS = 12;
+
+// final exponent (q^12-1)/r, little-endian u64 limbs (baked constant).
+static const u64 FINAL_EXP_LIMBS[44] = {
+    0x86964b64ca86f120ULL, 0x40a4efb7e54523a4ULL, 0x837fa97896e84abbULL, 0x361102b6b9b2b918ULL,
+    0xc0de81def35692daULL, 0xbe04c7e8a6c3c760ULL, 0xd766f9c9d570bb7fULL, 0xc230974d83561841ULL,
+    0x5bba1668c3be69a3ULL, 0x7f3811c410526294ULL, 0x29baee7ddadda71cULL, 0xbf813b8d145da900ULL,
+    0x641bbadf423f9a2cULL, 0xa80bb4ea44eacc5eULL, 0xcd65664814fde37cULL, 0x4a0364b9580291d2ULL,
+    0xee93dfb10826f0ddULL, 0x6b42db8dc5514724ULL, 0xbb10cf430b0f3785ULL, 0x40494e406f804216ULL,
+    0x55cfe107acf3aafbULL, 0x2088ec80e0ebae87ULL, 0x846a3ed011a337a0ULL, 0x48a45a4a1e3a5195ULL,
+    0xe5664568dfc50e16ULL, 0xab6a41294c0cc4ebULL, 0x82d0d602d268c7daULL, 0x6668449aed3cc48aULL,
+    0x5062cd0fb2015dfcULL, 0x7f2940a8b1ddb3d1ULL, 0x77f5b63a2a226448ULL, 0xfef0781361e443aeULL,
+    0xf977870e88d5c6c8ULL, 0x790364a61f676baaULL, 0x5887e72eceaddea3ULL, 0x1377e563a09a1b70ULL,
+    0x0c54efee1bd8c3b2ULL, 0x3ec3d15ad524d8f7ULL, 0xdaf15466b2383a5dULL, 0xe1e30a73bb94fec0ULL,
+    0x6a1c71015f3f7be2ULL, 0x842d43bf6369b1ffULL, 0x20fddadf107d20bcULL, 0x0000002f4b6dc970ULL};
+static const int FINAL_EXP_NLIMBS = 44;
+
+static Fq12 final_exp(const Fq12 &f) {
+    // easy part: f^((q^6-1)(q^2+1)) = (conj(f) * f^-1)^(q^2) * (conj(f)*f^-1)
+    Fq12 t = fq12_mul(fq12_conj(f), fq12_inv(f));
+    Fq12 t2 = fq12_frob(fq12_frob(t));
+    Fq12 m = fq12_mul(t2, t);
+    // hard part: m^((q^4 - q^2 + 1) / r)
+    return fq12_pow(m, HARD_EXP_LIMBS, HARD_EXP_NLIMBS);
+}
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int tnsh_native_version() { return 1; }
+
+// ---- Fr polynomial kernels ----
+
+// Newton interpolation over the domain {0..n-1}; vals/out are n 32-byte
+// little-endian Fr elements.  Matches tnsh.poly.interp.interpolate_on_range.
+void fr_interp_range(const uint8_t *vals, size_t n, uint8_t *out) {
+    if (n == 0) return;
+    std::vector<u64> col(n * 4), coeffs(n * 4);
+    for (size_t i = 0; i < n; i++) {
+        u64 t[4];
+        bytes_to_limbs(t, vals + 32 * i);
+        to_mont(&col[4 * i], t, FR);
+    }
+    // inverses of 1..n-1 (Montgomery) by batch inversion
+    std::vector<u64> invs(n ? (n) * 4 : 0);
+    {
+        // prefix products of k = 1..n-1 (Montgomery form of integers)
+        std::vector<u64> km((n) * 4), pref((n) * 4);
+        u64 acc[4];
+        memcpy(acc, FR.one, 32);
+        for (size_t k = 1; k < n; k++) {
+            u64 kraw[4] = {(u64)k, 0, 0, 0};
+            to_mont(&km[4 * k], kraw, FR);
+            mmul(acc, acc, &km[4 * k], FR);
+            memcpy(&pref[4 * k], acc, 32);
+        }
+        if (n > 1) {
+            u64 inv[4];
+            minv(inv, &pref[4 * (n - 1)], FR);
+            for (size_t k = n - 1; k >= 1; k--) {
+                if (k == 1) {
+                    memcpy(&invs[4 * k], inv, 32);
+                } else {
+                    mmul(&invs[4 * k], inv, &pref[4 * (k - 1)], FR);
+                    mmul(inv, inv, &km[4 * k], FR);
+                }
+            }
+        }
+    }
+    memcpy(&coeffs[0], &col[0], 32);
+    size_t len = n;
+    for (size_t level = 1; level < n; level++) {
+        const u64 *il = &invs[4 * level];
+        for (size_t i = 0; i + 1 < len; i++) {
+            u64 d[4];
+            sub_mod(d, &col[4 * (i + 1)], &col[4 * i], FR);
+            mmul(&col[4 * i], d, il, FR);
+        }
+        len--;
+        memcpy(&coeffs[4 * level], &col[0], 32);
+    }
+    // expand Newton form to monomial coefficients
+    std::vector<u64> poly(n * 4, 0);
+    memcpy(&poly[0], &coeffs[4 * (n - 1)], 32);
+    size_t deg = 0;
+    for (size_t kk = n - 1; kk-- > 0;) {
+        u64 xk_raw[4] = {(u64)kk, 0, 0, 0};
+        u64 xk[4];
+        to_mont(xk, xk_raw, FR);
+        for (size_t d = deg + 1; d-- > 0;) {
+            if (d + 1 <= deg + 1) {
+                u64 t[4];
+                add_mod(t, &poly[4 * (d + 1)], &poly[4 * d], FR);
+                memcpy(&poly[4 * (d + 1)], t, 32);
+            }
+            u64 t2[4];
+            mmul(t2, &poly[4 * d], xk, FR);
+            neg_mod(&poly[4 * d], t2, FR);
+        }
+        deg++;
+        u64 t[4];
+        add_mod(t, &poly[0], &coeffs[4 * kk], FR);
+        memcpy(&poly[0], t, 32);
+    }
+    for (size_t i = 0; i < n; i++) {
+        u64 s[4];
+        from_mont(s, &poly[4 * i], FR);
+        limbs_to_bytes(out + 32 * i, s);
+    }
+}
+
+// Horner evaluation of coeffs (n elements) at x.
+void fr_horner(const uint8_t *coeffs, size_t n, const uint8_t *x,
+               uint8_t *out) {
+    u64 xm[4], t[4], acc[4];
+    bytes_to_limbs(t, x);
+    to_mont(xm, t, FR);
+    memset(acc, 0, 32);
+    for (size_t i = n; i-- > 0;) {
+        u64 c[4], cm[4];
+        bytes_to_limbs(c, coeffs + 32 * i);
+        to_mont(cm, c, FR);
+        mmul(acc, acc, xm, FR);
+        add_mod(acc, acc, cm, FR);
+    }
+    u64 s[4];
+    from_mont(s, acc, FR);
+    limbs_to_bytes(out, s);
+}
+
+// Synthetic division: out (n-1 coeffs) = (P(x) - P(z)) / (x - z).
+void fr_quotient(const uint8_t *coeffs, size_t n, const uint8_t *z,
+                 uint8_t *out) {
+    if (n < 2) return;
+    u64 zm[4], t[4];
+    bytes_to_limbs(t, z);
+    to_mont(zm, t, FR);
+    u64 carry[4];
+    u64 c[4];
+    bytes_to_limbs(c, coeffs + 32 * (n - 1));
+    to_mont(carry, c, FR);
+    for (size_t i = n - 1; i-- > 0;) {
+        u64 s[4];
+        from_mont(s, carry, FR);
+        limbs_to_bytes(out + 32 * i, s);
+        bytes_to_limbs(c, coeffs + 32 * i);
+        u64 cm[4];
+        to_mont(cm, c, FR);
+        mmul(carry, carry, zm, FR);
+        add_mod(carry, cm, carry, FR);
+    }
+}
+
+// ---- G1 ----
+
+void g1_scalar_mul_c(const uint8_t *point, const uint8_t *scalar,
+                     uint8_t *out) {
+    G1J p = g1_from_bytes(point);
+    u64 k[4];
+    bytes_to_limbs(k, scalar);
+    g1_to_bytes(out, g1_scalar_mul_j(p, k));
+}
+
+void g1_add_c(const uint8_t *a, const uint8_t *b, uint8_t *out) {
+    g1_to_bytes(out, g1_add(g1_from_bytes(a), g1_from_bytes(b)));
+}
+
+// Pippenger MSM over n (point, scalar) pairs.
+void g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
+            uint8_t *out) {
+    std::vector<G1J> pts;
+    std::vector<u64> scs;
+    pts.reserve(n);
+    for (size_t i = 0; i < n; i++) {
+        u64 k[4];
+        bytes_to_limbs(k, scalars + 32 * i);
+        if (is_zero4(k)) continue;
+        G1J p = g1_from_bytes(points + 64 * i);
+        if (g1_is_zero(p)) continue;
+        pts.push_back(p);
+        scs.insert(scs.end(), k, k + 4);
+    }
+    size_t m = pts.size();
+    if (m == 0) {
+        memset(out, 0, 64);
+        return;
+    }
+    int c = 1;
+    while ((size_t(1) << c) < m && c < 16) c++;
+    if (c > 16) c = 16;
+    if (c < 2 && m > 2) c = 2;
+    int windows = (254 + c - 1) / c;
+    u64 mask = (c == 64) ? ~0ULL : ((1ULL << c) - 1);
+    std::vector<G1J> buckets((size_t(1) << c));
+    G1J result = g1_zero();
+    for (int w = windows - 1; w >= 0; w--) {
+        if (!g1_is_zero(result))
+            for (int i = 0; i < c; i++) result = g1_dbl(result);
+        for (auto &b : buckets) b = g1_zero();
+        int shift = w * c;
+        for (size_t i = 0; i < m; i++) {
+            const u64 *k = &scs[4 * i];
+            int limb = shift / 64;
+            int off = shift % 64;
+            u64 d = k[limb] >> off;
+            if (off + c > 64 && limb + 1 < 4) d |= k[limb + 1] << (64 - off);
+            d &= mask;
+            if (d) buckets[d] = g1_add(buckets[d], pts[i]);
+        }
+        G1J running = g1_zero(), acc = g1_zero();
+        for (size_t d = buckets.size() - 1; d >= 1; d--) {
+            running = g1_add(running, buckets[d]);
+            acc = g1_add(acc, running);
+        }
+        result = g1_add(result, acc);
+    }
+    g1_to_bytes(out, result);
+}
+
+// n scalar muls of a SHARED base with a shared window table
+// (fixed-base batch: used for powers-of-tau setup).
+void g1_fixed_base_batch(const uint8_t *base, const uint8_t *scalars, size_t n,
+                         uint8_t *out) {
+    G1J b = g1_from_bytes(base);
+    // table[w][d] = d * 2^(8w) * base
+    const int W = 32, D = 256;
+    std::vector<G1J> table(W * D);
+    G1J wb = b;
+    for (int w = 0; w < W; w++) {
+        table[w * D] = g1_zero();
+        table[w * D + 1] = wb;
+        for (int d = 2; d < D; d++)
+            table[w * D + d] = g1_add(table[w * D + d - 1], wb);
+        for (int k = 0; k < 8; k++) wb = g1_dbl(wb);
+    }
+    for (size_t i = 0; i < n; i++) {
+        u64 k[4];
+        bytes_to_limbs(k, scalars + 32 * i);
+        G1J acc = g1_zero();
+        for (int w = 0; w < W; w++) {
+            int d = (int)((k[w / 8] >> ((w % 8) * 8)) & 0xFF);
+            if (d) acc = g1_add(acc, table[w * D + d]);
+        }
+        g1_to_bytes(out + 64 * i, acc);
+    }
+}
+
+// ---- G2 ----
+
+void g2_scalar_mul_c(const uint8_t *point, const uint8_t *scalar,
+                     uint8_t *out) {
+    G2J p = g2_from_bytes(point);
+    u64 k[4];
+    bytes_to_limbs(k, scalar);
+    g2_to_bytes(out, g2_scalar_mul_j(p, k));
+}
+
+void g2_add_c(const uint8_t *a, const uint8_t *b, uint8_t *out) {
+    g2_to_bytes(out, g2_add(g2_from_bytes(a), g2_from_bytes(b)));
+}
+
+void g2_neg_c(const uint8_t *a, uint8_t *out) {
+    G2J p = g2_from_bytes(a);
+    p.Y = fq2_neg(p.Y);
+    g2_to_bytes(out, p);
+}
+
+// ---- pairing ----
+
+// Returns 1 iff e(a1, a2) == e(b1, b2); points affine standard bytes.
+// Computed as e(a1, a2) * e(-b1, b2) == 1 with a single final exponentiation.
+int pairing_equal(const uint8_t *a1, const uint8_t *a2, const uint8_t *b1,
+                  const uint8_t *b2) {
+    G1J A1 = g1_from_bytes(a1);
+    G1J B1 = g1_from_bytes(b1);
+    G2J A2 = g2_from_bytes(a2);
+    G2J B2 = g2_from_bytes(b2);
+    Fq12 f = fq12_one();
+    if (!g1_is_zero(A1) && !g2_is_zero(A2)) {
+        u64 px[4], py[4];
+        g1_to_affine(A1, px, py);
+        Fq2 qx, qy;
+        g2_to_affine(A2, qx, qy);
+        f = fq12_mul(f, miller_loop(qx, qy, px, py));
+    }
+    if (!g1_is_zero(B1) && !g2_is_zero(B2)) {
+        u64 px[4], py[4];
+        u64 ny[4];
+        neg_mod(ny, B1.Y, FQ);  // negate B1
+        memcpy(B1.Y, ny, 32);
+        g1_to_affine(B1, px, py);
+        Fq2 qx, qy;
+        g2_to_affine(B2, qx, qy);
+        f = fq12_mul(f, miller_loop(qx, qy, px, py));
+    }
+    Fq12 e = final_exp(f);
+    return fq12_eq(e, fq12_one()) ? 1 : 0;
+}
+
+// Product check: prod_i e(P_i, Q_i) == 1 over n pairs.
+int pairing_product_is_one_c(const uint8_t *g1s, const uint8_t *g2s,
+                             size_t n) {
+    Fq12 f = fq12_one();
+    for (size_t i = 0; i < n; i++) {
+        G1J P = g1_from_bytes(g1s + 64 * i);
+        G2J Q = g2_from_bytes(g2s + 128 * i);
+        if (g1_is_zero(P) || g2_is_zero(Q)) continue;
+        u64 px[4], py[4];
+        g1_to_affine(P, px, py);
+        Fq2 qx, qy;
+        g2_to_affine(Q, qx, qy);
+        f = fq12_mul(f, miller_loop(qx, qy, px, py));
+    }
+    return fq12_eq(final_exp(f), fq12_one()) ? 1 : 0;
+}
+
+// ---- debug hooks (tower Fq12 I/O as 12 Fq standard-form elements in order
+// d0.c0, d0.c1, d0.c2, d1.c0, d1.c1, d1.c2, each as (re, im)) ----
+
+static Fq12 fq12_read(const uint8_t *buf) {
+    Fq12 r;
+    u64 t[4];
+    u64 *slots[12] = {r.c0.c0.c0, r.c0.c0.c1, r.c0.c1.c0, r.c0.c1.c1,
+                      r.c0.c2.c0, r.c0.c2.c1, r.c1.c0.c0, r.c1.c0.c1,
+                      r.c1.c1.c0, r.c1.c1.c1, r.c1.c2.c0, r.c1.c2.c1};
+    for (int i = 0; i < 12; i++) {
+        bytes_to_limbs(t, buf + 32 * i);
+        to_mont(slots[i], t, FQ);
+    }
+    return r;
+}
+
+static void fq12_write(uint8_t *buf, const Fq12 &a) {
+    u64 t[4];
+    const u64 *slots[12] = {a.c0.c0.c0, a.c0.c0.c1, a.c0.c1.c0, a.c0.c1.c1,
+                            a.c0.c2.c0, a.c0.c2.c1, a.c1.c0.c0, a.c1.c0.c1,
+                            a.c1.c1.c0, a.c1.c1.c1, a.c1.c2.c0, a.c1.c2.c1};
+    for (int i = 0; i < 12; i++) {
+        from_mont(t, slots[i], FQ);
+        limbs_to_bytes(buf + 32 * i, t);
+    }
+}
+
+void dbg_fq12_mul(const uint8_t *a, const uint8_t *b, uint8_t *out) {
+    fq12_write(out, fq12_mul(fq12_read(a), fq12_read(b)));
+}
+
+void dbg_fq12_inv(const uint8_t *a, uint8_t *out) {
+    fq12_write(out, fq12_inv(fq12_read(a)));
+}
+
+void dbg_fq12_frob(const uint8_t *a, uint8_t *out) {
+    fq12_write(out, fq12_frob(fq12_read(a)));
+}
+
+void dbg_miller(const uint8_t *g1pt, const uint8_t *g2pt, uint8_t *out) {
+    G1J P = g1_from_bytes(g1pt);
+    G2J Q = g2_from_bytes(g2pt);
+    u64 px[4], py[4];
+    g1_to_affine(P, px, py);
+    Fq2 qx, qy;
+    g2_to_affine(Q, qx, qy);
+    fq12_write(out, miller_loop(qx, qy, px, py));
+}
+
+void dbg_final_exp(const uint8_t *a, uint8_t *out) {
+    fq12_write(out, final_exp(fq12_read(a)));
+}
+
+}  // extern "C"

@@ -26,6 +26,7 @@ reference for it.
 
 from __future__ import annotations
 
+import os
 from abc import ABC, abstractmethod
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
@@ -45,8 +46,17 @@ from ..poly.interp import interpolate_on_range
 # ---------------------------------------------------------------------------
 
 def msm(points: Sequence[G1], scalars: Sequence[Fr]) -> G1:
-    """Σ s_i · P_i via windowed bucket accumulation."""
+    """Σ s_i · P_i via windowed bucket accumulation.
+
+    Dispatches to the C++ native Pippenger (tnsh/_native) when available;
+    both paths produce the identical group element.
+    """
     n = min(len(points), len(scalars))
+    if n >= 4 and not os.environ.get("TNSH_NO_NATIVE"):
+        from .. import _native
+
+        if _native.available:
+            return _native.msm(points[:n], scalars[:n])
     pairs = [(points[i], int(scalars[i])) for i in range(n) if int(scalars[i])]
     if not pairs:
         return G1.zero()
@@ -250,7 +260,21 @@ class KZGCommitment(CommitmentScheme):
         proof: KZGProof,
     ) -> bool:
         """Pairing check e(C - [v]_1, [1]_2) == e(pi, [tau]_2 - [z]_2)
-        (reference commitments.rs:201-228)."""
+        (reference commitments.rs:201-228).  Uses the C++ native pairing
+        (single shared final exponentiation) when available."""
+        if not os.environ.get("TNSH_NO_NATIVE"):
+            from .. import _native
+
+            if _native.available:
+                left_g1 = commitment.commitment - _native.g1_scalar_mul(
+                    vk.g1_generator, value
+                )
+                right_g2 = vk.g2_tau - _native.g2_scalar_mul(
+                    vk.g2_generator, point
+                )
+                return _native.pairing_equal(
+                    left_g1, vk.g2_generator, proof.proof, right_g2
+                )
         left_g1 = commitment.commitment - vk.g1_generator.scalar_mul(value)
         right_g2 = vk.g2_tau - vk.g2_generator.scalar_mul(point)
         return pairing(left_g1, vk.g2_generator) == pairing(proof.proof, right_g2)
@@ -340,6 +364,13 @@ class KZGCommitment(CommitmentScheme):
             )
             left = left.add(term.scalar_mul(gamma))
             right_proof = right_proof.add(pi.proof.scalar_mul(gamma))
+        if not os.environ.get("TNSH_NO_NATIVE"):
+            from .. import _native
+
+            if _native.available:
+                return _native.pairing_product_is_one(
+                    [(left, vk.g2_generator), (right_proof.neg(), vk.g2_tau)]
+                )
         from ..field.pairing import pairing_product_is_one
 
         return pairing_product_is_one(

@@ -130,9 +130,17 @@ def setup_params(log_size: int):
     for _ in range(max_degree + 1):
         tau_powers.append(current)
         current = current * tau
-    g1_powers = _fixed_base_powers(g1_gen, tau_powers)
 
-    g2_tau = g2_gen.scalar_mul(tau)
+    import os
+
+    from .. import _native
+
+    if _native.available and not os.environ.get("TNSH_NO_NATIVE"):
+        g1_powers = _native.fixed_base_batch(g1_gen, tau_powers)
+        g2_tau = _native.g2_scalar_mul(g2_gen, tau)
+    else:
+        g1_powers = _fixed_base_powers(g1_gen, tau_powers)
+        g2_tau = g2_gen.scalar_mul(tau)
 
     fiat_shamir_seed = rng.fill_bytes(32)
 

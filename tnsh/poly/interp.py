@@ -20,6 +20,7 @@ lives in ``tnsh.poly.interp_jax`` and is validated against this host path.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import List, Sequence, Tuple
 
@@ -85,10 +86,17 @@ def _range_inverses(n: int) -> Tuple[int, ...]:
 def interpolate_on_range(values: Sequence[Fr]) -> List[Fr]:
     """Interpolate over the domain {0..n-1} — the ``vector_to_polynomial``
     hot path (reference twist.rs:307-316).  O(n^2), denominators are small
-    integers batch-inverted once per size."""
+    integers batch-inverted once per size.  Dispatches to the C++ native
+    kernel (tnsh/_native) when available; both paths are exact and
+    bit-identical."""
     n = len(values)
     if n == 0:
         return []
+    if n >= 8 and not os.environ.get("TNSH_NO_NATIVE"):
+        from .. import _native
+
+        if _native.available:
+            return _native.interp_range(values)
     inv = _range_inverses(n)  # inv[k-1] = 1/k mod p
     column = [int(v) for v in values]
     coeffs_newton: List[int] = [column[0]]
