@@ -1102,12 +1102,14 @@ void g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
     if (c < 2 && m > 2) c = 2;
     int windows = (254 + c - 1) / c;
     u64 mask = (c == 64) ? ~0ULL : ((1ULL << c) - 1);
-    std::vector<G1J> buckets((size_t(1) << c));
-    G1J result = g1_zero();
-    for (int w = windows - 1; w >= 0; w--) {
-        if (!g1_is_zero(result))
-            for (int i = 0; i < c; i++) result = g1_dbl(result);
-        for (auto &b : buckets) b = g1_zero();
+    // Window partial sums are independent — compute them in parallel, then
+    // combine with the usual doubling fold.
+    std::vector<G1J> window_sums(windows);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int w = 0; w < windows; w++) {
+        std::vector<G1J> buckets((size_t(1) << c), g1_zero());
         int shift = w * c;
         for (size_t i = 0; i < m; i++) {
             const u64 *k = &scs[4 * i];
@@ -1123,7 +1125,13 @@ void g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
             running = g1_add(running, buckets[d]);
             acc = g1_add(acc, running);
         }
-        result = g1_add(result, acc);
+        window_sums[w] = acc;
+    }
+    G1J result = g1_zero();
+    for (int w = windows - 1; w >= 0; w--) {
+        if (!g1_is_zero(result))
+            for (int i = 0; i < c; i++) result = g1_dbl(result);
+        result = g1_add(result, window_sums[w]);
     }
     g1_to_bytes(out, result);
 }
@@ -1133,6 +1141,15 @@ void g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
 void g1_fixed_base_batch(const uint8_t *base, const uint8_t *scalars, size_t n,
                          uint8_t *out) {
     G1J b = g1_from_bytes(base);
+    if (n < 64) {
+        // Table amortization doesn't pay below ~64 scalars.
+        for (size_t i = 0; i < n; i++) {
+            u64 k[4];
+            bytes_to_limbs(k, scalars + 32 * i);
+            g1_to_bytes(out + 64 * i, g1_scalar_mul_j(b, k));
+        }
+        return;
+    }
     // table[w][d] = d * 2^(8w) * base
     const int W = 32, D = 256;
     std::vector<G1J> table(W * D);
@@ -1144,6 +1161,9 @@ void g1_fixed_base_batch(const uint8_t *base, const uint8_t *scalars, size_t n,
             table[w * D + d] = g1_add(table[w * D + d - 1], wb);
         for (int k = 0; k < 8; k++) wb = g1_dbl(wb);
     }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (size_t i = 0; i < n; i++) {
         u64 k[4];
         bytes_to_limbs(k, scalars + 32 * i);

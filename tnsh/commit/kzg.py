@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 from abc import ABC, abstractmethod
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import List, Sequence, Tuple
 
 from ..core.params import CommitmentParams, CommitmentVerificationKey
@@ -87,6 +88,107 @@ def msm(points: Sequence[G1], scalars: Sequence[Fr]) -> G1:
             acc = acc.add(running)
         result = result.add(acc)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Lagrange SRS over the domain {0..n-1}  (evaluation-basis KZG)
+# ---------------------------------------------------------------------------
+#
+# The reference's dominant prover cost is the O(n^2)-O(n^3) Lagrange
+# interpolation feeding every commitment (SURVEY caveat 5, §7.3 item 6).
+# Committing in the *evaluation basis* removes it entirely:
+#
+#     C = [P(tau)]_1 = Σ v_i [L_i(tau)]_1
+#
+# so with the per-size Lagrange SRS {[L_i(tau)]_1} precomputed once, commit
+# is a single MSM over the raw vector, and the opening quotient at z is
+# evaluation-local: Q(i) = (v_i - P(z)) / (i - z), P(z) by barycentric
+# evaluation — O(n) field work.  The group elements are IDENTICAL to the
+# coefficient-basis path (same polynomial), so transcripts don't change.
+# The SRS derives from the retained tau (utils.rs:62 keeps it in params by
+# design parity); L_i(tau) = Π_{j≠i}(tau-j) / ((-1)^(n-1-i) i! (n-1-i)!).
+
+@lru_cache(maxsize=64)
+def _range_factorial_denoms(n: int) -> tuple:
+    """denom_i = (-1)^(n-1-i) * i! * (n-1-i)!  for the domain {0..n-1}."""
+    from ..field.fr import MODULUS
+
+    fact = [1] * n
+    for k in range(1, n):
+        fact[k] = fact[k - 1] * k % MODULUS
+    out = []
+    for i in range(n):
+        d = fact[i] * fact[n - 1 - i] % MODULUS
+        if (n - 1 - i) % 2 == 1:
+            d = MODULUS - d
+        out.append(Fr(d))
+    return tuple(out)
+
+
+def lagrange_srs(params: CommitmentParams, n: int) -> List[G1]:
+    """[L_i(tau)]_1 for the domain {0..n-1}; cached on the params object."""
+    cache = getattr(params, "_lagrange_srs_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(params, "_lagrange_srs_cache", cache)
+    if n in cache:
+        return cache[n]
+    if params.tau is None:
+        raise CommitmentError("Lagrange SRS requires tau in params")
+    from ..field.fr import MODULUS, batch_inverse
+
+    tau = int(params.tau)
+    t = [Fr((tau - i) % MODULUS) for i in range(n)]
+    prefix = [Fr(1)] * (n + 1)
+    for i in range(n):
+        prefix[i + 1] = prefix[i] * t[i]
+    suffix = [Fr(1)] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        suffix[i] = suffix[i + 1] * t[i]
+    denoms = _range_factorial_denoms(n)
+    inv_dt = batch_inverse([denoms[i] * t[i] for i in range(n)])
+    full = prefix[n]  # Π (tau - j)
+    scalars = [full * inv_dt[i] for i in range(n)]
+
+    g = G1.generator()
+    if not os.environ.get("TNSH_NO_NATIVE"):
+        from .. import _native
+
+        if _native.available:
+            points = _native.fixed_base_batch(g, scalars)
+            cache[n] = points
+            return points
+    points = [g.scalar_mul(s) for s in scalars]
+    cache[n] = points
+    return points
+
+
+@lru_cache(maxsize=64)
+def _barycentric_weights(n: int) -> tuple:
+    """w_i = 1 / denom_i for the domain {0..n-1}."""
+    from ..field.fr import batch_inverse
+
+    return tuple(batch_inverse(list(_range_factorial_denoms(n))))
+
+
+def barycentric_eval(values: Sequence[Fr], z: Fr) -> Fr:
+    """P(z) for the interpolant of ``values`` on {0..n-1}; z not in domain."""
+    from ..field.fr import MODULUS, batch_inverse
+
+    n = len(values)
+    if n == 0:
+        return Fr(0)
+    zi = int(z)
+    diffs = [Fr((zi - i) % MODULUS) for i in range(n)]
+    inv_diffs = batch_inverse(diffs)
+    weights = _barycentric_weights(n)
+    acc = 0
+    for i in range(n):
+        acc += int(values[i]) * int(weights[i]) * int(inv_diffs[i])
+    full = 1
+    for d in diffs:
+        full = full * int(d) % MODULUS
+    return Fr(acc % MODULUS * full)
 
 
 # ---------------------------------------------------------------------------
@@ -249,6 +351,48 @@ class KZGCommitment(CommitmentScheme):
         value = evaluate_polynomial(polynomial, point)
         quotient = compute_quotient_polynomial(polynomial, point, value)
         proof_commitment = KZGCommitment.commit(params, quotient)
+        return value, KZGProof(proof_commitment.commitment)
+
+    # -- evaluation-basis fast path (identical group elements) -------------
+    @staticmethod
+    def commit_evals(
+        params: CommitmentParams, values: Sequence[Fr]
+    ) -> KZGCommitmentValue:
+        """Commit to the interpolant of ``values`` over {0..n-1} WITHOUT
+        interpolating: one MSM against the Lagrange SRS.  Produces the same
+        commitment as ``commit(interpolate_on_range(values))``."""
+        n = len(values)
+        if n == 0:
+            return KZGCommitmentValue(G1.zero())
+        if n > len(params.g1_powers):
+            raise CommitmentError("Polynomial degree exceeds setup size")
+        if params.tau is None:
+            poly = interpolate_on_range([Fr(v) for v in values])
+            return KZGCommitment.commit(params, poly)
+        return KZGCommitmentValue(msm(lagrange_srs(params, n), values))
+
+    @staticmethod
+    def open_evals(
+        params: CommitmentParams, values: Sequence[Fr], point: Fr
+    ) -> Tuple[Fr, KZGProof]:
+        """Open the interpolant of ``values`` at ``point`` in O(n) field work:
+        barycentric evaluation + evaluation-local quotient.  Falls back to
+        the coefficient path if ``point`` lies in the domain (negligible
+        probability for Fiat-Shamir challenges) or tau is unavailable."""
+        from ..field.fr import MODULUS, batch_inverse
+
+        n = len(values)
+        zi = int(point)
+        if n < 2 or zi < n or params.tau is None:
+            poly = interpolate_on_range([Fr(v) for v in values])
+            return KZGCommitment.open(params, poly, point)
+        diffs = [Fr((i - zi) % MODULUS) for i in range(n)]
+        inv_diffs = batch_inverse(diffs)
+        value = barycentric_eval(values, point)
+        q = [
+            (Fr(values[i]) - value) * inv_diffs[i] for i in range(n)
+        ]
+        proof_commitment = KZGCommitment.commit_evals(params, q)
         return value, KZGProof(proof_commitment.commitment)
 
     @staticmethod

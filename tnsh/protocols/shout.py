@@ -95,12 +95,11 @@ class Shout:
         lookups_size = max(_next_power_of_two(len(indices)), 1)
         padded_indices = indices + [Fr(0)] * (lookups_size - len(indices))
 
-        table_poly = interpolate_on_range(padded_table)
-        index_poly = interpolate_on_range(padded_indices)
-
+        # Evaluation-basis commitments (identical group elements, no O(n^2)
+        # interpolation; see tnsh.commit.kzg.commit_evals).
         cp = self.prover_params.commitment_params
-        table_commitment = KZGCommitment.commit(cp, table_poly)
-        index_commitment = KZGCommitment.commit(cp, index_poly)
+        table_commitment = KZGCommitment.commit_evals(cp, padded_table)
+        index_commitment = KZGCommitment.commit_evals(cp, padded_indices)
 
         log_lookups = lookups_size.bit_length() - 1
         sumcheck = SumCheck(log_lookups, Fr(0))
@@ -129,11 +128,11 @@ class Shout:
         opening_proofs: List[KZGProof] = []
         final_evaluations: List[Fr] = []
         if challenges:
-            table_eval, table_opening = KZGCommitment.open(
-                cp, table_poly, challenges[0]
+            table_eval, table_opening = KZGCommitment.open_evals(
+                cp, padded_table, challenges[0]
             )
-            index_eval, index_opening = KZGCommitment.open(
-                cp, index_poly, challenges[0]
+            index_eval, index_opening = KZGCommitment.open_evals(
+                cp, padded_indices, challenges[0]
             )
             opening_proofs = [table_opening, index_opening]
             final_evaluations = [table_eval, index_eval]

@@ -138,12 +138,12 @@ class Twist:
         values = values + [Fr(0)] * (padded_size - len(values))
         op_types = op_types + [Fr(0)] * (padded_size - len(op_types))
 
-        address_poly = interpolate_on_range(addresses)
-        value_poly = interpolate_on_range(values)
-
+        # Evaluation-basis commitments: same group elements as committing to
+        # interpolate_on_range(...) but without the O(n^2) interpolation
+        # (reference twist.rs:151-163 pays it; SURVEY §7.3 item 6).
         cp = self.prover_params.commitment_params
-        address_commitment = KZGCommitment.commit(cp, address_poly)
-        value_commitment = KZGCommitment.commit(cp, value_poly)
+        address_commitment = KZGCommitment.commit_evals(cp, addresses)
+        value_commitment = KZGCommitment.commit_evals(cp, values)
 
         log_ops = padded_size.bit_length() - 1
         sumcheck = SumCheck(log_ops, Fr(0))
@@ -173,11 +173,11 @@ class Twist:
         opening_proofs: List[KZGProof] = []
         final_evaluations: List[Fr] = []
         if challenges:
-            address_eval, address_opening = KZGCommitment.open(
-                cp, address_poly, challenges[0]
+            address_eval, address_opening = KZGCommitment.open_evals(
+                cp, addresses, challenges[0]
             )
-            value_eval, value_opening = KZGCommitment.open(
-                cp, value_poly, challenges[0]
+            value_eval, value_opening = KZGCommitment.open_evals(
+                cp, values, challenges[0]
             )
             opening_proofs = [address_opening, value_opening]
             final_evaluations = [address_eval, value_eval]
