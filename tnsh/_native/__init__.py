@@ -72,6 +72,12 @@ def _load() -> None:
             [c_u8p, c_u8p, ctypes.c_size_t],
             ctypes.c_int,
         ),
+        ("srs_create_fixed_base", [c_u8p, c_u8p, ctypes.c_size_t], ctypes.c_int),
+        ("srs_create_from_points", [c_u8p, ctypes.c_size_t], ctypes.c_int),
+        ("srs_size", [ctypes.c_int], ctypes.c_long),
+        ("srs_get_point", [ctypes.c_int, ctypes.c_size_t, c_u8p], None),
+        ("srs_msm", [ctypes.c_int, c_u8p, ctypes.c_size_t, c_u8p], None),
+        ("srs_free", [ctypes.c_int], None),
     ]:
         fn = getattr(lib, name)
         fn.argtypes = argtypes
@@ -221,3 +227,39 @@ def pairing_product_is_one(pairs) -> bool:
     g1s = b"".join(_g1_to_bytes(p) for p, _ in pairs)
     g2s = b"".join(_g2_to_bytes(q) for _, q in pairs)
     return bool(_lib.pairing_product_is_one_c(_buf(g1s), _buf(g2s), len(pairs)))
+
+
+# -- native-resident SRS handles --------------------------------------------
+
+def srs_create_fixed_base(base, scalars) -> int:
+    """Build {s_i * base} in native memory; returns a handle id."""
+    scs = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    return int(_lib.srs_create_fixed_base(_buf(_g1_to_bytes(base)), _buf(scs),
+                                          len(scalars)))
+
+
+def srs_create_from_points(points) -> int:
+    data = b"".join(_g1_to_bytes(p) for p in points)
+    return int(_lib.srs_create_from_points(_buf(data), len(points)))
+
+
+def srs_size(srs_id: int) -> int:
+    return int(_lib.srs_size(srs_id))
+
+
+def srs_point(srs_id: int, idx: int):
+    raw, out = _out(64)
+    _lib.srs_get_point(srs_id, idx, out)
+    return _g1_from_bytes(raw.raw)
+
+
+def srs_msm(srs_id: int, scalars):
+    """MSM of the first len(scalars) SRS points against the scalars."""
+    scs = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    raw, out = _out(64)
+    _lib.srs_msm(srs_id, _buf(scs), len(scalars), out)
+    return _g1_from_bytes(raw.raw)
+
+
+def srs_free(srs_id: int) -> None:
+    _lib.srs_free(srs_id)

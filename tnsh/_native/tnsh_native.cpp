@@ -1245,6 +1245,230 @@ int pairing_product_is_one_c(const uint8_t *g1s, const uint8_t *g2s,
     return fq12_eq(final_exp(f), fq12_one()) ? 1 : 0;
 }
 
+}  // extern "C" (main ABI)
+
+// ---- SRS handles: large point sets resident in native memory ----
+//
+// At 2^20+ SRS sizes, materializing Python point objects costs GBs; these
+// handles keep affine Montgomery coordinates in C++ vectors and run MSMs
+// (mixed-add Pippenger, OpenMP over windows) directly against them.
+
+struct AffinePt {
+    u64 x[4], y[4];
+    bool inf;
+};
+
+static std::vector<std::vector<AffinePt>> g_srs_store;
+
+// Mixed add: q affine (Z = 1).  ~30% fewer muls than the general add.
+static G1J g1_add_mixed(const G1J &p, const AffinePt &q) {
+    if (q.inf) return p;
+    if (g1_is_zero(p)) {
+        G1J r;
+        memcpy(r.X, q.x, 32);
+        memcpy(r.Y, q.y, 32);
+        memcpy(r.Z, FQ.one, 32);
+        return r;
+    }
+    u64 Z1Z1[4], U2[4], S2[4], H[4], HH[4], I[4], J[4], rr[4], V[4], t[4],
+        X3[4], Y3[4], Z3[4];
+    msq(Z1Z1, p.Z, FQ);
+    mmul(U2, q.x, Z1Z1, FQ);
+    mmul(S2, q.y, p.Z, FQ);
+    mmul(S2, S2, Z1Z1, FQ);
+    sub_mod(H, U2, p.X, FQ);
+    sub_mod(rr, S2, p.Y, FQ);
+    if (is_zero4(H)) {
+        if (is_zero4(rr)) return g1_dbl(p);
+        return g1_zero();
+    }
+    add_mod(rr, rr, rr, FQ);
+    add_mod(t, H, H, FQ);
+    msq(I, t, FQ);
+    mmul(J, H, I, FQ);
+    mmul(V, p.X, I, FQ);
+    msq(X3, rr, FQ);
+    sub_mod(X3, X3, J, FQ);
+    add_mod(t, V, V, FQ);
+    sub_mod(X3, X3, t, FQ);
+    sub_mod(t, V, X3, FQ);
+    mmul(Y3, rr, t, FQ);
+    mmul(t, p.Y, J, FQ);
+    add_mod(t, t, t, FQ);
+    sub_mod(Y3, Y3, t, FQ);
+    mmul(Z3, p.Z, H, FQ);
+    add_mod(Z3, Z3, Z3, FQ);
+    G1J r;
+    memcpy(r.X, X3, 32);
+    memcpy(r.Y, Y3, 32);
+    memcpy(r.Z, Z3, 32);
+    return r;
+}
+
+// Batch-convert Jacobian points to affine Montgomery with one inversion.
+static void g1_batch_to_affine(const std::vector<G1J> &pts,
+                               std::vector<AffinePt> &out) {
+    size_t n = pts.size();
+    out.resize(n);
+    std::vector<u64> prefix(4 * (n + 1));
+    memcpy(&prefix[0], FQ.one, 32);
+    for (size_t i = 0; i < n; i++) {
+        if (g1_is_zero(pts[i])) {
+            memcpy(&prefix[4 * (i + 1)], &prefix[4 * i], 32);
+        } else {
+            mmul(&prefix[4 * (i + 1)], &prefix[4 * i], pts[i].Z, FQ);
+        }
+    }
+    u64 inv[4];
+    minv(inv, &prefix[4 * n], FQ);
+    for (size_t i = n; i-- > 0;) {
+        if (g1_is_zero(pts[i])) {
+            out[i].inf = true;
+            memset(out[i].x, 0, 32);
+            memset(out[i].y, 0, 32);
+            continue;
+        }
+        u64 zinv[4], zinv2[4];
+        mmul(zinv, inv, &prefix[4 * i], FQ);
+        mmul(inv, inv, pts[i].Z, FQ);
+        msq(zinv2, zinv, FQ);
+        out[i].inf = false;
+        mmul(out[i].x, pts[i].X, zinv2, FQ);
+        mmul(out[i].y, pts[i].Y, zinv2, FQ);
+        mmul(out[i].y, out[i].y, zinv, FQ);
+    }
+}
+
+// Shared Pippenger core over affine points.
+static G1J pippenger_affine(const std::vector<AffinePt> &pts,
+                            const std::vector<u64> &scs, size_t m) {
+    if (m == 0) return g1_zero();
+    int c = 1;
+    while ((size_t(1) << c) < m && c < 16) c++;
+    if (c < 2 && m > 2) c = 2;
+    int windows = (254 + c - 1) / c;
+    u64 mask = (1ULL << c) - 1;
+    std::vector<G1J> window_sums(windows);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int w = 0; w < windows; w++) {
+        std::vector<G1J> buckets((size_t(1) << c), g1_zero());
+        int shift = w * c;
+        for (size_t i = 0; i < m; i++) {
+            const u64 *k = &scs[4 * i];
+            int limb = shift / 64;
+            int off = shift % 64;
+            u64 d = k[limb] >> off;
+            if (off + c > 64 && limb + 1 < 4) d |= k[limb + 1] << (64 - off);
+            d &= mask;
+            if (d) buckets[d] = g1_add_mixed(buckets[d], pts[i]);
+        }
+        G1J running = g1_zero(), acc = g1_zero();
+        for (size_t d = buckets.size() - 1; d >= 1; d--) {
+            running = g1_add(running, buckets[d]);
+            acc = g1_add(acc, running);
+        }
+        window_sums[w] = acc;
+    }
+    G1J result = g1_zero();
+    for (int w = windows - 1; w >= 0; w--) {
+        if (!g1_is_zero(result))
+            for (int i = 0; i < c; i++) result = g1_dbl(result);
+        result = g1_add(result, window_sums[w]);
+    }
+    return result;
+}
+
+extern "C" {
+
+// Build an SRS of n points s_i * base in native memory; returns handle id.
+int srs_create_fixed_base(const uint8_t *base, const uint8_t *scalars,
+                          size_t n) {
+    G1J b = g1_from_bytes(base);
+    std::vector<G1J> jac(n);
+    const int W = 32, D = 256;
+    std::vector<G1J> table(W * D);
+    G1J wb = b;
+    for (int w = 0; w < W; w++) {
+        table[w * D] = g1_zero();
+        table[w * D + 1] = wb;
+        for (int d = 2; d < D; d++)
+            table[w * D + d] = g1_add(table[w * D + d - 1], wb);
+        for (int k = 0; k < 8; k++) wb = g1_dbl(wb);
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (size_t i = 0; i < n; i++) {
+        u64 k[4];
+        bytes_to_limbs(k, scalars + 32 * i);
+        G1J acc = g1_zero();
+        for (int w = 0; w < W; w++) {
+            int d = (int)((k[w / 8] >> ((w % 8) * 8)) & 0xFF);
+            if (d) acc = g1_add(acc, table[w * D + d]);
+        }
+        jac[i] = acc;
+    }
+    g_srs_store.emplace_back();
+    g1_batch_to_affine(jac, g_srs_store.back());
+    return (int)g_srs_store.size() - 1;
+}
+
+// Load an SRS from affine standard-form bytes (64 B per point).
+int srs_create_from_points(const uint8_t *points, size_t n) {
+    std::vector<G1J> jac(n);
+    for (size_t i = 0; i < n; i++) jac[i] = g1_from_bytes(points + 64 * i);
+    g_srs_store.emplace_back();
+    g1_batch_to_affine(jac, g_srs_store.back());
+    return (int)g_srs_store.size() - 1;
+}
+
+long srs_size(int id) {
+    if (id < 0 || id >= (int)g_srs_store.size()) return -1;
+    return (long)g_srs_store[id].size();
+}
+
+void srs_get_point(int id, size_t idx, uint8_t *out) {
+    const AffinePt &p = g_srs_store[id][idx];
+    if (p.inf) {
+        memset(out, 0, 64);
+        return;
+    }
+    u64 s[4];
+    from_mont(s, p.x, FQ);
+    limbs_to_bytes(out, s);
+    from_mont(s, p.y, FQ);
+    limbs_to_bytes(out + 32, s);
+}
+
+// MSM of the first n SRS points against n scalars.
+void srs_msm(int id, const uint8_t *scalars, size_t n, uint8_t *out) {
+    const std::vector<AffinePt> &all = g_srs_store[id];
+    std::vector<AffinePt> pts;
+    std::vector<u64> scs;
+    pts.reserve(n);
+    for (size_t i = 0; i < n && i < all.size(); i++) {
+        u64 k[4];
+        bytes_to_limbs(k, scalars + 32 * i);
+        if (is_zero4(k) || all[i].inf) continue;
+        pts.push_back(all[i]);
+        scs.insert(scs.end(), k, k + 4);
+    }
+    g1_to_bytes(out, pippenger_affine(pts, scs, pts.size()));
+}
+
+void srs_free(int id) {
+    if (id >= 0 && id < (int)g_srs_store.size()) {
+        g_srs_store[id].clear();
+        g_srs_store[id].shrink_to_fit();
+    }
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // ---- debug hooks (tower Fq12 I/O as 12 Fq standard-form elements in order
 // d0.c0, d0.c1, d0.c2, d1.c0, d1.c1, d1.c2, each as (re, im)) ----
 

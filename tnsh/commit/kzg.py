@@ -49,9 +49,16 @@ from ..poly.interp import interpolate_on_range
 def msm(points: Sequence[G1], scalars: Sequence[Fr]) -> G1:
     """Σ s_i · P_i via windowed bucket accumulation.
 
-    Dispatches to the C++ native Pippenger (tnsh/_native) when available;
-    both paths produce the identical group element.
+    Dispatches to the C++ native Pippenger (tnsh/_native) when available —
+    directly against the handle for native-resident SRS views — and both
+    paths produce the identical group element.
     """
+    from ..core.params import NativeSRS
+
+    if isinstance(points, NativeSRS):
+        from .. import _native
+
+        return _native.srs_msm(points.srs_id, scalars)
     n = min(len(points), len(scalars))
     if n >= 4 and not os.environ.get("TNSH_NO_NATIVE"):
         from .. import _native
@@ -153,9 +160,13 @@ def lagrange_srs(params: CommitmentParams, n: int) -> List[G1]:
     g = G1.generator()
     if not os.environ.get("TNSH_NO_NATIVE"):
         from .. import _native
+        from ..core.params import LARGE_SRS_THRESHOLD, NativeSRS
 
         if _native.available:
-            points = _native.fixed_base_batch(g, scalars)
+            if n >= LARGE_SRS_THRESHOLD:
+                points = NativeSRS(_native.srs_create_fixed_base(g, scalars))
+            else:
+                points = _native.fixed_base_batch(g, scalars)
             cache[n] = points
             return points
     points = [g.scalar_mul(s) for s in scalars]
@@ -340,6 +351,10 @@ class KZGCommitment(CommitmentScheme):
     ) -> KZGCommitmentValue:
         if len(polynomial) > len(params.g1_powers):
             raise CommitmentError("Polynomial degree exceeds setup size")
+        from ..core.params import NativeSRS
+
+        if isinstance(params.g1_powers, NativeSRS):
+            return KZGCommitmentValue(msm(params.g1_powers, polynomial))
         return KZGCommitmentValue(
             msm(params.g1_powers[: len(polynomial)], polynomial)
         )

@@ -76,6 +76,44 @@ def _next_power_of_two(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+#: Above this SRS size, points stay resident in native memory (no Python
+#: G1 objects): a 2^20-point SRS as Python objects costs GBs; as a native
+#: handle it is 96 MB of packed limbs.
+LARGE_SRS_THRESHOLD = 1 << 14
+
+
+class NativeSRS:
+    """Lazy sequence view over a native-resident SRS handle.
+
+    Supports ``len`` and point readback by index so the small-scale API
+    shape (``g1_powers[i]``) keeps working; MSMs run natively against the
+    handle without materializing points (tnsh.commit.kzg routes on this
+    type).
+    """
+
+    __slots__ = ("srs_id", "_len")
+
+    def __init__(self, srs_id: int):
+        from .. import _native
+
+        self.srs_id = srs_id
+        self._len = _native.srs_size(srs_id)
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __getitem__(self, idx):
+        from .. import _native
+
+        if isinstance(idx, slice):
+            return [self[i] for i in range(*idx.indices(self._len))]
+        if idx < 0:
+            idx += self._len
+        if not (0 <= idx < self._len):
+            raise IndexError(idx)
+        return _native.srs_point(self.srs_id, idx)
+
+
 def _fixed_base_powers(base: G1, scalars: List[Fr]) -> List[G1]:
     """[s * base for s in scalars] with a shared 8-bit window table.
 
@@ -136,7 +174,12 @@ def setup_params(log_size: int):
     from .. import _native
 
     if _native.available and not os.environ.get("TNSH_NO_NATIVE"):
-        g1_powers = _native.fixed_base_batch(g1_gen, tau_powers)
+        if max_degree + 1 >= LARGE_SRS_THRESHOLD:
+            g1_powers = NativeSRS(
+                _native.srs_create_fixed_base(g1_gen, tau_powers)
+            )
+        else:
+            g1_powers = _native.fixed_base_batch(g1_gen, tau_powers)
         g2_tau = _native.g2_scalar_mul(g2_gen, tau)
     else:
         g1_powers = _fixed_base_powers(g1_gen, tau_powers)
