@@ -209,3 +209,28 @@ class TestMesh:
             jax.device_put(jnp.asarray(bits), shard),
         )
         assert _jacobian_to_g1(X, Y, Z) == msm_host(points, scalars)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestShardedOracle:
+    def test_sharded_oracle_identical_proofs(self):
+        from tnsh.parallel.mesh import ShardedProductMLEOracle, make_mesh
+
+        random.seed(91)
+        n = 6
+        evals_a = [Fr(random.randrange(MODULUS)) for _ in range(1 << n)]
+        evals_b = [Fr(random.randrange(MODULUS)) for _ in range(1 << n)]
+        ma = MultilinearExtension.from_evaluations(evals_a)
+        mb = MultilinearExtension.from_evaluations(evals_b)
+        total = Fr(sum(int(a) * int(b) for a, b in zip(evals_a, evals_b)))
+        sc = SumCheck(n, total)
+        seed = bytes([42]) * 32
+        host_proof = sc.prove(ProductMLEOracle([ma, mb]), Transcript(seed))
+        mesh = make_mesh(jax.devices()[:8])
+        sharded_proof = sc.prove(
+            ShardedProductMLEOracle([ma, mb], mesh), Transcript(seed)
+        )
+        assert host_proof.round_polynomials == sharded_proof.round_polynomials
+        assert host_proof.final_evaluation == sharded_proof.final_evaluation
+        ok, _ = sc.verify(sharded_proof, Transcript(seed))
+        assert ok

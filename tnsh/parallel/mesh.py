@@ -145,6 +145,107 @@ def sharded_round_step(mesh: Mesh, num_factors: int, axis: str = "data"):
     return jax.jit(step)
 
 
+def sharded_fold_step(mesh: Mesh, num_factors: int, axis: str = "data"):
+    """Jitted shard-local fold of all factor tables (no collectives)."""
+    from ..poly import mle_jax
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(tuple([P(None, axis)] * num_factors), P(None, None)),
+        out_specs=tuple([P(None, axis)] * num_factors),
+        check_vma=False,
+    )
+    def step(tables, r):
+        return tuple(mle_jax.fold(t, r) for t in tables)
+
+    return jax.jit(step)
+
+
+def sharded_evals_step(mesh: Mesh, num_factors: int, axis: str = "data"):
+    """Jitted sharded round evaluations: local partial sums + exact psum."""
+    from ..poly import mle_jax
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(tuple([P(None, axis)] * num_factors),),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    def step(tables):
+        return psum_field(mle_jax.product_round_evals(list(tables)), axis)
+
+    return jax.jit(step)
+
+
+from ..iop.sumcheck import SumcheckOracle
+
+
+class ShardedProductMLEOracle(SumcheckOracle):
+    """Multi-chip sum-check oracle: product of MLEs, hypercube-sharded.
+
+    Drop-in for ``tnsh.iop.sumcheck.SumcheckOracle``: tables live
+    block-sharded on the mesh; each round computes g(0..3) with shard-local
+    partial sums + one exact psum, and binds the challenge with a
+    shard-local fold.  When the folded tables shrink below 2 lanes/device,
+    the tail rounds run replicated on a single device.  Produces
+    bit-identical proofs to the host ``ProductMLEOracle`` (tested on the
+    virtual CPU mesh).
+    """
+
+    def __init__(self, factors, mesh: Mesh = None, axis: str = "data"):
+        import jax.numpy as jnp
+
+        from ..iop.sumcheck import SumCheckError
+        from ..poly import mle_jax
+
+        self._m = mle_jax
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = axis
+        self.n_devices = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        if not factors:
+            raise SumCheckError("ShardedProductMLEOracle needs >= 1 factor")
+        self.num_vars = factors[0].num_vars
+        for f in factors:
+            if f.num_vars != self.num_vars:
+                raise SumCheckError("factor num_vars mismatch")
+        shard = NamedSharding(self.mesh, P(None, axis))
+        self.tables = tuple(
+            jax.device_put(jnp.asarray(mle_jax.pack_mle(f.evaluations)), shard)
+            for f in factors
+        )
+        self._evals_fn = sharded_evals_step(self.mesh, len(factors), axis)
+        self._fold_fn = sharded_fold_step(self.mesh, len(factors), axis)
+
+    def _sharded_ok(self) -> bool:
+        return self.tables[0].shape[1] >= 2 * self.n_devices
+
+    def round_evaluations(self, round_index: int):
+        if self._sharded_ok():
+            evals = self._evals_fn(self.tables)
+        else:
+            evals = self._m.product_round_evals_jit(list(self.tables), None)
+        return self._m.unpack_fr(evals)
+
+    def bind(self, challenge) -> None:
+        import jax.numpy as jnp
+
+        r = jnp.asarray(self._m.pack_fr_scalar(challenge))
+        if self._sharded_ok():
+            self.tables = self._fold_fn(self.tables, r)
+        else:
+            self.tables = tuple(self._m.fold_jit(t, r) for t in self.tables)
+
+    def final_evaluation(self, challenges):
+        from ..field.fr import Fr
+
+        prod = Fr(1)
+        for t in self.tables:
+            prod = prod * self._m.unpack_fr(t)[0]
+        return prod
+
+
 # ---------------------------------------------------------------------------
 # Sharded MSM
 # ---------------------------------------------------------------------------

@@ -210,4 +210,8 @@ class Shout:
             else:
                 err.append(Fr(0))
         mle = MultilinearExtension.from_evaluations_vec(log_lookups, err)
+        # NOTE: the host oracle is O(n) total for this degree-1 single-factor
+        # sum-check and avoids per-round-shape XLA recompiles; the TPU oracle
+        # (JaxProductMLEOracle) pays off for multi-factor constraints and is
+        # available by explicit injection.
         return ProductMLEOracle([mle])

@@ -244,27 +244,52 @@ class Twist:
         addresses: List[Fr],
         values: List[Fr],
         op_types: List[Fr],
-    ) -> ProductMLEOracle:
+    ):
         """A real (non-stub) consistency constraint with zero hypercube sum.
 
-        For each op i define err(i) = read_flag(i) * (value(i) - last_write
-        (address(i), i)), computed from the witness; a consistent trace gives
-        the all-zero vector, whose MLE sums to zero.  The oracle is the MLE of
-        err — sum-check then proves Σ err = 0 with an honest polynomial
-        rather than the reference's hardwired zero closure (twist.rs:186-214).
-        The ``LessThanPolynomial`` ordering semantics (reference
-        polynomials.rs:198-293) define "last": j < i with max j.
+        Two per-op error terms, both identically zero on honest traces:
+
+          * value consistency — for each read i of address a with last write
+            j: err_val(i) = value(i) - value(j) (reads of unwritten cells
+            expect 0), matching the reference's documented read-semantics
+            (twist.rs:61-71);
+          * write ordering — err_ord(i) = read_flag(i) * (1 - lt(j, i)) where
+            lt is ``LessThanPolynomial`` over *big-endian* bit strings, whose
+            lexicographic comparison then coincides with numeric j < i.  This
+            wires the ordering polynomial into proving, which the reference
+            advertises (README.md:80) but never does (SURVEY caveat 2).
+
+        The oracle is the MLE of err_val + err_ord; sum-check proves
+        Σ err = 0 with an honest polynomial rather than the reference's
+        hardwired zero closure (twist.rs:186-214).  Large instances run the
+        rounds on the TPU oracle.
         """
+        from ..poly.lt import LessThanPolynomial
+
         size = 1 << log_ops
-        mem: dict = {}
+        lt = LessThanPolynomial(max(log_ops, 1))
+
+        def bits_be(x: int) -> List[bool]:
+            le = [bool((x >> b) & 1) for b in range(max(log_ops, 1))]
+            return le[::-1]
+
+        mem: dict = {}  # addr -> (last value, last write index)
         err: List[Fr] = []
         for i in range(size):
             addr = int(addresses[i])
             if int(op_types[i]) == 1:
-                mem[addr] = values[i]
+                mem[addr] = (values[i], i)
                 err.append(Fr(0))
             else:
-                expected = mem.get(addr, Fr(0))
-                err.append(values[i] - expected)
+                expected, j = mem.get(addr, (Fr(0), None))
+                e = values[i] - expected
+                if j is not None:
+                    ordering = lt.evaluate_at_bits(bits_be(j), bits_be(i))
+                    e = e + (Fr(1) - ordering)
+                err.append(e)
         mle = MultilinearExtension.from_evaluations_vec(log_ops, err)
+        # NOTE: the host oracle is O(n) total for this degree-1 single-factor
+        # sum-check and avoids per-round-shape XLA recompiles; the TPU oracle
+        # (JaxProductMLEOracle) pays off for multi-factor constraints and is
+        # available by explicit injection.
         return ProductMLEOracle([mle])
