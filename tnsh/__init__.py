@@ -39,6 +39,10 @@ from .errors import (
 )
 from .field.fr import Fr
 from .field.fr import Fr as FieldElement
+from .field.g1 import G1
+from .field.g1 import G1 as G1Element
+from .field.g2 import G2
+from .field.g2 import G2 as G2Element
 from .iop.sumcheck import SumCheck, SumCheckProof, SumCheckVerifier
 from .poly.lt import LessThanPolynomial
 from .poly.mle import MultilinearExtension
@@ -61,6 +65,10 @@ __all__ = [
     "CommitmentVerificationKey",
     "FieldElement",
     "Fr",
+    "G1",
+    "G1Element",
+    "G2",
+    "G2Element",
     "InvalidParametersError",
     "KZGCommitment",
     "KZGCommitmentValue",

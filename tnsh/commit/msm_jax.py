@@ -38,10 +38,13 @@ from jax import lax
 
 from ..field.fr import Fr
 from ..field.g1 import G1
-from ..field.fr_jax import fq_ops
+from ..field.fr_jax import fq_ops, fq_ops_rows
 from ..field.limbs import FQ_SPEC, NUM_LIMBS, pack_ints, pack_scalar_bits, unpack_ints
 
-fq = fq_ops
+# Row-form ops are ~6x faster on TPU (no concat-copy traffic in the CIOS
+# shift) but their ~4x larger graphs make CPU-XLA compiles pathological;
+# pick per backend at import (PERF_NOTES.md finding 1).
+fq = fq_ops_rows if jax.default_backend() == "tpu" else fq_ops
 
 
 # ---------------------------------------------------------------------------

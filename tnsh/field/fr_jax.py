@@ -208,9 +208,98 @@ def make_field_ops(spec: FieldSpec):
     return ops
 
 
+def make_field_ops_rows(spec: FieldSpec):
+    """Row-form variant: identical signatures over (L, *batch) planes, but
+    every op unstacks to per-limb rows internally and restacks once at the
+    end.  ~4x more HLO ops than the array form, but zero concat/pad copies —
+    XLA fuses the row chains, which wins for copy-bound kernels like the
+    MSM group law (the array-form CIOS shift materializes a (L+1, N) temp
+    ~20x per multiplication)."""
+    p_int = [int(x) for x in spec.modulus_limbs()]
+    p2_int = [int(x) for x in int_to_limbs(2 * spec.modulus)]
+    base = make_field_ops(spec)
+    n0 = spec.n0
+
+    def _norm_rows(rows):
+        out = []
+        carry = None
+        for v in rows:
+            v = v if carry is None else v + carry
+            carry = v >> B
+            out.append(v & MASK)
+        return out, carry
+
+    def _cond_sub_rows(rows, m_limbs):
+        d = [r - int(m) for r, m in zip(rows, m_limbs)]
+        out, carry = _norm_rows(d)
+        ge = carry >= 0
+        return [jnp.where(ge, o, r) for o, r in zip(out, rows)]
+
+    def add(a, b):
+        rows, _ = _norm_rows([a[i] + b[i] for i in range(L)])
+        return jnp.stack(_cond_sub_rows(rows, p2_int))
+
+    def sub(a, b):
+        rows, _ = _norm_rows(
+            [a[i] - b[i] + p2_int[i] for i in range(L)]
+        )
+        return jnp.stack(_cond_sub_rows(rows, p2_int))
+
+    def mont_mul(a, b):
+        a_rows = [a[i] for i in range(L)]
+        b_rows = [b[i] for i in range(L)]
+        zero = a_rows[0] * 0
+        t = [zero] * (L + 1)
+        for i in range(L):
+            ai = a_rows[i]
+            for j in range(L):
+                t[j] = t[j] + ai * b_rows[j]
+            m = (t[0] * n0) & MASK
+            for j in range(L):
+                if p_int[j]:
+                    t[j] = t[j] + m * p_int[j]
+            carry = t[0] >> B
+            t = t[1:] + [zero]
+            t[0] = t[0] + carry
+        out, _ = _norm_rows(t)
+        return jnp.stack(out[:L])
+
+    def mont_mul_many(pairs):
+        if len(pairs) == 1:
+            return [mont_mul(*pairs[0])]
+        a_cat = jnp.concatenate([p[0] for p in pairs], axis=-1)
+        b_cat = jnp.concatenate([p[1] for p in pairs], axis=-1)
+        out = mont_mul(a_cat, b_cat)
+        n = pairs[0][0].shape[-1]
+        return [out[..., i * n:(i + 1) * n] for i in range(len(pairs))]
+
+    class _Ops:
+        pass
+
+    ops = _Ops()
+    ops.spec = spec
+    ops.add = add
+    ops.sub = sub
+    ops.neg = base.neg
+    ops.mont_mul = mont_mul
+    ops.mont_mul_many = mont_mul_many
+    ops.square = lambda a: mont_mul(a, a)
+    ops.to_mont = base.to_mont
+    ops.from_mont = base.from_mont
+    ops.is_zero = base.is_zero
+    ops.canon = base.canon
+    ops.select = base.select
+    ops.zero = base.zero
+    ops.one = base.one
+    ops.scalar_const = base.scalar_const
+    ops.p_planes = base.p_planes
+    return ops
+
+
 #: Shared op sets (module-level so jit caches are reused).
 fr_ops = make_field_ops(FR_SPEC)
 fq_ops = make_field_ops(FQ_SPEC)
+fq_ops_rows = make_field_ops_rows(FQ_SPEC)
 
 
 # jitted elementwise entry points for benchmarks / external use
