@@ -99,3 +99,37 @@ def test_proof_non_malleability(params3):
         proof.consistency_proof, final_evaluation=Fr(1)
     )
     assert not twist.verify(bad_sumcheck, verifier_params)
+
+
+def test_strict_verify_requires_openings(params3):
+    """strict=True rejects the empty-openings proof the lenient reference
+    path accepts (SURVEY caveat 4)."""
+    import dataclasses
+
+    pp, vp = params3
+    trace = MemoryTrace(8)
+    trace.write(0, Fr(42))
+    trace.read(0)  # 2 ops -> log_ops >= 1 so openings are expected
+    twist = Twist(pp)
+    proof = twist.prove(trace)
+    stripped = dataclasses.replace(proof, opening_proofs=[], final_evaluations=[])
+    assert twist.verify(stripped, vp)            # reference-lenient
+    assert not twist.verify(stripped, vp, strict=True)
+    assert twist.verify(proof, vp, strict=True)  # complete proof passes
+
+
+def test_strict_verify_shout(params3):
+    import dataclasses
+
+    from tnsh.protocols.shout import LookupTable, Shout
+
+    pp, vp = params3
+    table = LookupTable([Fr(7), Fr(8)])
+    table.lookup(0)
+    table.lookup(1)
+    shout = Shout(pp)
+    proof = shout.prove(table)
+    stripped = dataclasses.replace(proof, opening_proofs=[], final_evaluations=[])
+    assert shout.verify(stripped, vp)
+    assert not shout.verify(stripped, vp, strict=True)
+    assert shout.verify(proof, vp, strict=True)

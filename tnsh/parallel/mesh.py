@@ -52,6 +52,41 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def init_distributed(coordinator: str = None, num_processes: int = None,
+                     process_id: int = None) -> None:
+    """Initialize jax.distributed for a multi-host pod slice.
+
+    Call once per host before building meshes; afterwards ``jax.devices()``
+    spans the whole slice and the shard_map paths below ride ICI within a
+    host and DCN across hosts unchanged.  Arguments default to the standard
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars.
+    No-op when already initialized or single-process.
+    """
+    import jax
+
+    try:
+        if coordinator or num_processes:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+
+
+def make_mesh_2d(ici: int, dcn: int, ici_axis: str = "ici",
+                 dcn_axis: str = "dcn") -> Mesh:
+    """A (dcn, ici) mesh: the fast axis maps to in-host ICI links, the slow
+    axis to cross-host DCN.  Shard MLE lanes over the flattened ('dcn',
+    'ici') product axis; psum_field reduces hierarchically (XLA lowers the
+    single psum to ICI reduce + DCN exchange)."""
+    devices = np.array(jax.devices()[: ici * dcn]).reshape(dcn, ici)
+    return Mesh(devices, (dcn_axis, ici_axis))
+
+
 # ---------------------------------------------------------------------------
 # Exact field psum: limb-wise integer psum + renormalization
 # ---------------------------------------------------------------------------

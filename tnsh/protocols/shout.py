@@ -145,7 +145,16 @@ class Shout:
             final_evaluations=final_evaluations,
         )
 
-    def verify(self, proof: ShoutProof, verifier_params: VerifierParams) -> bool:
+    def verify(
+        self,
+        proof: ShoutProof,
+        verifier_params: VerifierParams,
+        strict: bool = False,
+    ) -> bool:
+        """Verify a proof.  ``strict=False`` reproduces the reference's
+        lenient shape handling (openings optional — SURVEY caveat 4);
+        ``strict=True`` requires both opening proofs/evaluations whenever
+        lookups are non-trivial (a tnsh hardening extension)."""
         transcript = Transcript(verifier_params.fiat_shamir_seed)
         transcript.append_field_element(
             b"table_commitment", proof.table_commitment.hash()
@@ -155,6 +164,10 @@ class Shout:
         )
 
         num_vars = len(proof.lookup_proof.round_polynomials)
+        if strict and num_vars > 0 and (
+            len(proof.opening_proofs) < 2 or len(proof.final_evaluations) < 2
+        ):
+            return False
         sumcheck = SumCheck(num_vars, Fr(0))
         sumcheck_valid, _ = sumcheck.verify(proof.lookup_proof, transcript)
         if not sumcheck_valid:

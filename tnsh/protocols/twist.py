@@ -190,7 +190,17 @@ class Twist:
             final_evaluations=final_evaluations,
         )
 
-    def verify(self, proof: TwistProof, verifier_params: VerifierParams) -> bool:
+    def verify(
+        self,
+        proof: TwistProof,
+        verifier_params: VerifierParams,
+        strict: bool = False,
+    ) -> bool:
+        """Verify a proof.  ``strict=False`` reproduces the reference's
+        lenient shape handling (openings optional, round count taken from
+        the proof — SURVEY caveat 4); ``strict=True`` additionally requires
+        both opening proofs/evaluations whenever the trace is non-trivial
+        (a tnsh hardening extension)."""
         transcript = Transcript(verifier_params.fiat_shamir_seed)
         transcript.append_field_element(
             b"address_commitment", proof.address_commitment.hash()
@@ -200,6 +210,10 @@ class Twist:
         )
 
         num_vars = len(proof.consistency_proof.round_polynomials)
+        if strict and num_vars > 0 and (
+            len(proof.opening_proofs) < 2 or len(proof.final_evaluations) < 2
+        ):
+            return False
         sumcheck = SumCheck(num_vars, Fr(0))
         sumcheck_valid, _ = sumcheck.verify(proof.consistency_proof, transcript)
         if not sumcheck_valid:
