@@ -40,32 +40,43 @@ def main() -> None:
     )
 
     # Supplementary: vectorized Fr Montgomery-mul throughput on the default
-    # JAX backend (the real TPU chip when run under the driver).
+    # JAX backend (the real TPU chip when run under the driver).  Runs in a
+    # subprocess with a hard timeout so a wedged TPU tunnel can never hang
+    # the metric emission.
     try:
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
+        import subprocess
 
-        from tnsh.field.fr_jax import fr_mont_mul
-        from tnsh.field.limbs import FR_SPEC, pack_ints
-
-        rng = np.random.default_rng(0)
-        n = 1 << 16
-        vals = [int(v) for v in rng.integers(0, 1 << 62, n)]
-        a = jnp.asarray(pack_ints(vals, FR_SPEC))
-        r = fr_mont_mul(a, a)
-        jax.block_until_ready(r)
-        iters = 20
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fr_mont_mul(r, a)
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / iters
-        print(
-            f"[bench] fr_mont_mul[{jax.devices()[0].platform}]: "
-            f"{n / dt / 1e6:.1f} M muls/s ({dt * 1e3:.2f} ms / {n})",
-            file=sys.stderr,
+        probe = (
+            "import time, jax, jax.numpy as jnp, numpy as np\n"
+            "from tnsh.field.fr_jax import fr_mont_mul\n"
+            "from tnsh.field.limbs import FR_SPEC, pack_ints\n"
+            "rng = np.random.default_rng(0)\n"
+            "n = 1 << 16\n"
+            "vals = [int(v) for v in rng.integers(0, 1 << 62, n)]\n"
+            "a = jnp.asarray(pack_ints(vals, FR_SPEC))\n"
+            "r = fr_mont_mul(a, a); jax.block_until_ready(r)\n"
+            "iters = 20\n"
+            "t0 = time.perf_counter()\n"
+            "for _ in range(iters): r = fr_mont_mul(r, a)\n"
+            "jax.block_until_ready(r)\n"
+            "dt = (time.perf_counter() - t0) / iters\n"
+            "print(f'{jax.devices()[0].platform} "
+            "{n / dt / 1e6:.1f} M muls/s ({dt * 1e3:.2f} ms / {n})')\n"
         )
+        out = subprocess.run(
+            [sys.executable, "-c", probe],
+            capture_output=True,
+            timeout=420,
+            text=True,
+        )
+        line = (out.stdout or "").strip().splitlines()
+        if out.returncode == 0 and line:
+            print(f"[bench] fr_mont_mul[{line[-1]}]", file=sys.stderr)
+        else:
+            print(
+                f"[bench] fr_mont_mul probe failed (rc={out.returncode})",
+                file=sys.stderr,
+            )
     except Exception as exc:  # pragma: no cover - diagnostics only
         print(f"[bench] fr_mont_mul skipped: {exc}", file=sys.stderr)
 

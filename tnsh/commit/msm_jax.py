@@ -135,6 +135,25 @@ def _padd_mixed(X1, Y1, Z1, x2, y2, take):
     return X3, Y3, Z3
 
 
+def _padd_mixed_safe(X1, Y1, Z1, x2, y2, take):
+    """Mixed add WITH the equal-points branch — needed where the
+    accumulator can coincide with an input point (Pippenger buckets with
+    duplicate/adversarial bases)."""
+    X3, Y3, Z3 = _padd_mixed(X1, Y1, Z1, x2, y2, take)
+    Z1Z1, = fq.mont_mul_many([(Z1, Z1)])
+    U2, T2 = fq.mont_mul_many([(x2, Z1Z1), (y2, Z1)])
+    S2, = fq.mont_mul_many([(T2, Z1Z1)])
+    h_zero = fq.is_zero(fq.sub(U2, X1))
+    r_zero = fq.is_zero(fq.sub(S2, Y1))
+    p_inf = fq.is_zero(Z1)
+    same = take & h_zero & r_zero & ~p_inf
+    dX, dY, dZ = _pdouble(X1, Y1, Z1)
+    X3 = fq.select(same, dX, X3)
+    Y3 = fq.select(same, dY, Y3)
+    Z3 = fq.select(same, dZ, Z3)
+    return X3, Y3, Z3
+
+
 def tree_reduce_points(X, Y, Z):
     """Collapse N Jacobian lanes to lane 0 by masked pairwise addition."""
     n = X.shape[-1]
