@@ -133,3 +133,41 @@ def test_strict_verify_shout(params3):
     assert shout.verify(stripped, vp)
     assert not shout.verify(stripped, vp, strict=True)
     assert shout.verify(proof, vp, strict=True)
+
+
+def test_fast_verify_batched_openings(params3):
+    """fast=True: one pairing-product check for both openings; accepts valid
+    proofs, rejects tampered evaluations and swapped opening proofs."""
+    import dataclasses
+
+    pp, vp = params3
+    trace = MemoryTrace(8)
+    trace.write(0, Fr(42))
+    trace.write(1, Fr(73))
+    trace.read(0)
+    twist = Twist(pp)
+    proof = twist.prove(trace)
+    assert twist.verify(proof, vp, fast=True)
+    bad = dataclasses.replace(
+        proof, final_evaluations=[Fr(999), proof.final_evaluations[1]]
+    )
+    assert not twist.verify(bad, vp, fast=True)
+    swapped = dataclasses.replace(
+        proof, opening_proofs=[proof.opening_proofs[1], proof.opening_proofs[0]]
+    )
+    assert not twist.verify(swapped, vp, fast=True)
+
+    from tnsh.protocols.shout import LookupTable, Shout
+
+    table = LookupTable([Fr(i + 1) for i in range(8)])
+    table.lookup(2)
+    table.lookup(5)
+    shout = Shout(pp)
+    sproof = shout.prove(table)
+    assert shout.verify(sproof, vp, fast=True)
+    sbad = dataclasses.replace(
+        sproof,
+        final_evaluations=[sproof.final_evaluations[0] + Fr(1),
+                           sproof.final_evaluations[1]],
+    )
+    assert not shout.verify(sbad, vp, fast=True)

@@ -150,11 +150,13 @@ class Shout:
         proof: ShoutProof,
         verifier_params: VerifierParams,
         strict: bool = False,
+        fast: bool = False,
     ) -> bool:
         """Verify a proof.  ``strict=False`` reproduces the reference's
         lenient shape handling (openings optional — SURVEY caveat 4);
         ``strict=True`` requires both opening proofs/evaluations whenever
-        lookups are non-trivial (a tnsh hardening extension)."""
+        lookups are non-trivial; ``fast=True`` batches both opening checks
+        into one pairing product (see Twist.verify).  tnsh extensions."""
         transcript = Transcript(verifier_params.fiat_shamir_seed)
         transcript.append_field_element(
             b"table_commitment", proof.table_commitment.hash()
@@ -183,6 +185,16 @@ class Shout:
             and len(proof.final_evaluations) >= 2
         ):
             vk = verifier_params.commitment_vk
+            if fast:
+                from ..commit.kzg import verify_openings_batched
+
+                return verify_openings_batched(
+                    vk,
+                    [proof.table_commitment, proof.index_commitment],
+                    opening_challenges[0],
+                    proof.final_evaluations[:2],
+                    proof.opening_proofs[:2],
+                )
             if not KZGCommitment.verify(
                 vk,
                 proof.table_commitment,

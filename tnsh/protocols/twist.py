@@ -195,12 +195,16 @@ class Twist:
         proof: TwistProof,
         verifier_params: VerifierParams,
         strict: bool = False,
+        fast: bool = False,
     ) -> bool:
         """Verify a proof.  ``strict=False`` reproduces the reference's
         lenient shape handling (openings optional, round count taken from
         the proof — SURVEY caveat 4); ``strict=True`` additionally requires
-        both opening proofs/evaluations whenever the trace is non-trivial
-        (a tnsh hardening extension)."""
+        both opening proofs/evaluations whenever the trace is non-trivial.
+        ``fast=True`` checks both openings with one batched pairing-product
+        (2 Miller loops + 1 final exp instead of 4 + 2; RLC weights from a
+        transcript over the statement).  Both are tnsh extensions; accepted
+        proofs are the same set up to the RLC soundness error ~1/r."""
         transcript = Transcript(verifier_params.fiat_shamir_seed)
         transcript.append_field_element(
             b"address_commitment", proof.address_commitment.hash()
@@ -229,6 +233,16 @@ class Twist:
             and len(proof.final_evaluations) >= 2
         ):
             vk = verifier_params.commitment_vk
+            if fast:
+                from ..commit.kzg import verify_openings_batched
+
+                return verify_openings_batched(
+                    vk,
+                    [proof.address_commitment, proof.value_commitment],
+                    opening_challenges[0],
+                    proof.final_evaluations[:2],
+                    proof.opening_proofs[:2],
+                )
             if not KZGCommitment.verify(
                 vk,
                 proof.address_commitment,
