@@ -822,37 +822,6 @@ static Fq12 linefunc(const PtE12 &p1, const PtE12 &p2, const Fq12 &xt,
 static Fq12 fq12_frob_fast(const Fq12 &a);
 static Fq12 fq12_frob(const Fq12 &a) { return fq12_frob_fast(a); }
 
-static Fq12 miller_loop(const Fq2 &qx, const Fq2 &qy, const u64 px_m[4],
-                        const u64 py_m[4]) {
-    PtE12 Q = untwist(qx, qy);
-    Fq12 xt = fq12_from_fq(px_m);
-    Fq12 yt = fq12_from_fq(py_m);
-    PtE12 R = Q;
-    Fq12 f = fq12_one();
-    int top = 127;
-    while (top >= 0 && !((u64)((ATE_LOOP >> top) & 1))) top--;
-    for (int i = top - 1; i >= 0; i--) {
-        f = fq12_mul(fq12_sqr(f), linefunc(R, R, xt, yt));
-        R = pt_dbl(R);
-        if ((u64)((ATE_LOOP >> i) & 1)) {
-            f = fq12_mul(f, linefunc(R, Q, xt, yt));
-            R = pt_add(R, Q);
-        }
-    }
-    PtE12 Q1;
-    Q1.x = fq12_frob(Q.x);
-    Q1.y = fq12_frob(Q.y);
-    PtE12 nQ2;
-    nQ2.x = fq12_frob(Q1.x);
-    nQ2.y = fq12_frob(Q1.y);
-    nQ2.y.c0 = fq6_neg(nQ2.y.c0);
-    nQ2.y.c1 = fq6_neg(nQ2.y.c1);
-    f = fq12_mul(f, linefunc(R, Q1, xt, yt));
-    R = pt_add(R, Q1);
-    f = fq12_mul(f, linefunc(R, nQ2, xt, yt));
-    return f;
-}
-
 // ---- fast Frobenius via precomputed gamma = xi^((q-1)/6) powers ----
 
 static Fq2 fq2_pow(const Fq2 &a, const u64 *e, int nlimbs) {
@@ -870,8 +839,8 @@ static Fq2 fq2_pow(const Fq2 &a, const u64 *e, int nlimbs) {
 
 static const u64 Q_MINUS1_DIV6[4] = {0x34b017592414d4e1ULL, 0xee9591c2e6bda1c2ULL, 0xf40d60f3c0403964ULL, 0x0810b7bdd032f006ULL};
 
-static Fq2 FROB_GAMMA[6];
-static bool FROB_READY = false;
+Fq2 FROB_GAMMA[6];
+bool FROB_READY = false;
 
 static void init_frob() {
     // xi = 9 + i in Montgomery form
@@ -908,6 +877,67 @@ static const u64 HARD_EXP_LIMBS[12] = {
     0x4e529a5861876f6bULL, 0x6c0eb522d5b12278ULL, 0x331ec15183177fafULL, 0x01baaa710b0759adULL};
 static const int HARD_EXP_NLIMBS = 12;
 
+static Fq12 miller_loop(const Fq2 &qx, const Fq2 &qy, const u64 px_m[4],
+                        const u64 py_m[4]) {
+    // Twisted-coordinate Miller loop: the running point R stays in affine
+    // E'(Fq2); slopes are Fq2 (one Fq2 inversion per step instead of Fq12),
+    // and each line value is assembled sparsely as
+    //   l = -yp + (lam * xp) w + (y_R - lam * x_R) v w,
+    // which equals the untwisted-coordinate line exactly (validated against
+    // the Python flat-Fq12 Miller loop bit-for-bit).
+    if (!FROB_READY) init_frob();
+    Fq2 rx = qx, ry = qy;
+    Fq12 f = fq12_one();
+
+    auto line = [&](const Fq2 &lam, const Fq2 &x1, const Fq2 &y1) {
+        Fq12 l;
+        memset(&l, 0, sizeof(l));
+        neg_mod(l.c0.c0.c0, py_m, FQ);
+        mmul(l.c1.c0.c0, lam.c0, px_m, FQ);
+        mmul(l.c1.c0.c1, lam.c1, px_m, FQ);
+        l.c1.c1 = fq2_sub(y1, fq2_mul(lam, x1));
+        return l;
+    };
+
+    auto dbl_step = [&]() {
+        Fq2 xx = fq2_sqr(rx);
+        Fq2 num = fq2_add(fq2_dbl(xx), xx);
+        Fq2 lam = fq2_mul(num, fq2_inv(fq2_dbl(ry)));
+        Fq12 l = line(lam, rx, ry);
+        Fq2 x3 = fq2_sub(fq2_sqr(lam), fq2_dbl(rx));
+        ry = fq2_sub(fq2_mul(lam, fq2_sub(rx, x3)), ry);
+        rx = x3;
+        return l;
+    };
+
+    auto add_step = [&](const Fq2 &ax, const Fq2 &ay) {
+        Fq2 lam = fq2_mul(fq2_sub(ay, ry), fq2_inv(fq2_sub(ax, rx)));
+        Fq12 l = line(lam, rx, ry);
+        Fq2 x3 = fq2_sub(fq2_sub(fq2_sqr(lam), rx), ax);
+        ry = fq2_sub(fq2_mul(lam, fq2_sub(rx, x3)), ry);
+        rx = x3;
+        return l;
+    };
+
+    int top = 127;
+    while (top >= 0 && !((u64)((ATE_LOOP >> top) & 1))) top--;
+    for (int i = top - 1; i >= 0; i--) {
+        f = fq12_mul(fq12_sqr(f), dbl_step());
+        if ((u64)((ATE_LOOP >> i) & 1)) {
+            f = fq12_mul(f, add_step(qx, qy));
+        }
+    }
+    // Frobenius endgame: Q1 = psi(Q), nQ2 = -psi^2(Q) on twisted coords:
+    // psi(x, y) = (conj(x) gamma^2, conj(y) gamma^3).
+    Fq2 q1x = fq2_mul(fq2_conj(qx), FROB_GAMMA[2]);
+    Fq2 q1y = fq2_mul(fq2_conj(qy), FROB_GAMMA[3]);
+    Fq2 q2x = fq2_mul(fq2_conj(q1x), FROB_GAMMA[2]);
+    Fq2 q2y = fq2_neg(fq2_mul(fq2_conj(q1y), FROB_GAMMA[3]));
+    f = fq12_mul(f, add_step(q1x, q1y));
+    f = fq12_mul(f, add_step(q2x, q2y));
+    return f;
+}
+
 // final exponent (q^12-1)/r, little-endian u64 limbs (baked constant).
 static const u64 FINAL_EXP_LIMBS[44] = {
     0x86964b64ca86f120ULL, 0x40a4efb7e54523a4ULL, 0x837fa97896e84abbULL, 0x361102b6b9b2b918ULL,
@@ -923,12 +953,65 @@ static const u64 FINAL_EXP_LIMBS[44] = {
     0x6a1c71015f3f7be2ULL, 0x842d43bf6369b1ffULL, 0x20fddadf107d20bcULL, 0x0000002f4b6dc970ULL};
 static const int FINAL_EXP_NLIMBS = 44;
 
+// m^u for the BN parameter u = 4965661367192848881 (63 bits).
+static Fq12 fq12_pow_u(const Fq12 &a) {
+    const u64 U = 4965661367192848881ULL;
+    Fq12 acc = fq12_one();
+    Fq12 base = a;
+    for (int i = 0; i < 63; i++) {
+        if ((U >> i) & 1) acc = fq12_mul(acc, base);
+        base = fq12_sqr(base);
+    }
+    return acc;
+}
+
+// Hard part m^((q^4 - q^2 + 1)/r) by the standard BN vectorial addition
+// chain (Scott et al.); valid for unitary m (conjugate = inverse), which
+// the easy part guarantees.  ~190 squarings + ~100 muls instead of a
+// 762-bit generic exponentiation.
+static Fq12 final_exp_hard(const Fq12 &m) {
+    Fq12 mp = fq12_frob(m);
+    Fq12 mp2 = fq12_frob(mp);
+    Fq12 mp3 = fq12_frob(mp2);
+    Fq12 my = fq12_pow_u(m);
+    Fq12 my2 = fq12_pow_u(my);
+    Fq12 my3 = fq12_pow_u(my2);
+    Fq12 y0 = fq12_mul(fq12_mul(mp, mp2), mp3);
+    Fq12 y1 = fq12_conj(m);
+    Fq12 y2 = fq12_frob(fq12_frob(my2));
+    Fq12 y3 = fq12_conj(fq12_frob(my));
+    Fq12 y4 = fq12_conj(fq12_mul(my, fq12_frob(my2)));
+    Fq12 y5 = fq12_conj(my2);
+    Fq12 y6 = fq12_conj(fq12_mul(my3, fq12_frob(my3)));
+    Fq12 T0 = fq12_sqr(y6);
+    T0 = fq12_mul(T0, y4);
+    T0 = fq12_mul(T0, y5);
+    Fq12 T1 = fq12_mul(y3, y5);
+    T1 = fq12_mul(T1, T0);
+    T0 = fq12_mul(T0, y2);
+    T1 = fq12_sqr(T1);
+    T1 = fq12_mul(T1, T0);
+    T1 = fq12_sqr(T1);
+    T0 = fq12_mul(T1, y1);
+    T1 = fq12_mul(T1, y0);
+    T0 = fq12_sqr(T0);
+    T0 = fq12_mul(T0, T1);
+    return T0;
+}
+
 static Fq12 final_exp(const Fq12 &f) {
     // easy part: f^((q^6-1)(q^2+1)) = (conj(f) * f^-1)^(q^2) * (conj(f)*f^-1)
     Fq12 t = fq12_mul(fq12_conj(f), fq12_inv(f));
     Fq12 t2 = fq12_frob(fq12_frob(t));
     Fq12 m = fq12_mul(t2, t);
-    // hard part: m^((q^4 - q^2 + 1) / r)
+    return final_exp_hard(m);
+}
+
+// Reference-slow path retained for cross-validation (dbg hook below).
+static Fq12 final_exp_naive(const Fq12 &f) {
+    Fq12 t = fq12_mul(fq12_conj(f), fq12_inv(f));
+    Fq12 t2 = fq12_frob(fq12_frob(t));
+    Fq12 m = fq12_mul(t2, t);
     return fq12_pow(m, HARD_EXP_LIMBS, HARD_EXP_NLIMBS);
 }
 
@@ -1520,6 +1603,10 @@ void dbg_miller(const uint8_t *g1pt, const uint8_t *g2pt, uint8_t *out) {
 
 void dbg_final_exp(const uint8_t *a, uint8_t *out) {
     fq12_write(out, final_exp(fq12_read(a)));
+}
+
+void dbg_final_exp_naive(const uint8_t *a, uint8_t *out) {
+    fq12_write(out, final_exp_naive(fq12_read(a)));
 }
 
 }  // extern "C"
