@@ -48,6 +48,9 @@ def main() -> None:
 
         probe = (
             "import time, jax, jax.numpy as jnp, numpy as np\n"
+            "try: jax.config.update('jax_compilation_cache_dir', "
+            "'/tmp/tnsh_jax_cache')\n"
+            "except Exception: pass\n"
             "from tnsh.field.fr_jax import fr_mont_mul\n"
             "from tnsh.field.limbs import FR_SPEC, pack_ints\n"
             "rng = np.random.default_rng(0)\n"
