@@ -15,8 +15,12 @@ labels, padding rules and the proof shape are byte-compatible:
        The reference's consistency closure ALWAYS returns zero
        (twist.rs:212; SURVEY caveat 1), so the default oracle here is
        ``ZeroOracle`` — bit-identical round polynomials, none of the wasted
-       MLE evaluation.  ``sound_mode=True`` runs the real one-hot/less-than
-       constraint product instead (a tnsh extension; changes the proof).
+       MLE evaluation.  ``sound_mode=True`` runs an honest-prover
+       consistency self-check instead (value + lt-ordering error vectors; a
+       tnsh extension that changes the proof).  NOTE: like the reference,
+       neither mode cryptographically binds the sum-check polynomial to the
+       committed trace — full Twist soundness (one-hot address encodings
+       bound to the commitments) is future work.
     8. draw ``opening_challenges`` and KZG-open both polys at challenge[0]
        (twist.rs:219-243)
 
