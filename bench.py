@@ -24,10 +24,11 @@ import time
 def main() -> None:
     from tnsh.bench.harness import ProtocolBenchmarks
 
-    # Warm-up run (populates interpolation caches the way a server would).
+    # Warm-up run (populates interpolation caches the way a server would);
+    # best-of-5 damps co-located load noise on the 2-core host.
     ProtocolBenchmarks.benchmark_twist_single(4, 8)
     best = None
-    for _ in range(3):
+    for _ in range(5):
         res = ProtocolBenchmarks.benchmark_twist_single(4, 8)
         if best is None or res.prove_time < best.prove_time:
             best = res
