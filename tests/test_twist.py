@@ -138,3 +138,33 @@ class TestTwistProveVerify:
         twist = Twist(prover_params)
         proof = twist.prove(trace, sound_mode=True)
         assert twist.verify(proof, verifier_params)
+
+
+class TestSoundModePadding:
+    def test_sound_mode_padding_rows_not_scored(self, params4):
+        """Regression (found by tools/fuzz_differential.py seed 42): padding
+        rows look like 'read address 0, value 0'; once a real write hits
+        address 0 the sound oracle must NOT score them as failing reads."""
+        prover_params, verifier_params = params4
+        trace = MemoryTrace(8)
+        # 3 ops -> pads to 4; the write to address 0 poisons mem[0] for any
+        # naively-scored padding "read".
+        trace.read(3)
+        trace.write(0, Fr(345))
+        trace.read(5)
+        twist = Twist(prover_params)
+        proof = twist.prove(trace, sound_mode=True)
+        assert twist.verify(proof, verifier_params)
+
+    def test_sound_mode_many_padded_sizes(self, params4):
+        prover_params, verifier_params = params4
+        for n_ops in (3, 5, 9, 11):
+            trace = MemoryTrace(8)
+            for i in range(n_ops):
+                if i % 2 == 0:
+                    trace.write(i % 8, Fr(i * 7 + 1))
+                else:
+                    trace.read((i * 3) % 8)
+            twist = Twist(prover_params)
+            proof = twist.prove(trace, sound_mode=True)
+            assert twist.verify(proof, verifier_params)

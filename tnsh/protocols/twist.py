@@ -162,7 +162,8 @@ class Twist:
 
         if sound_mode:
             oracle = self._sound_consistency_oracle(
-                log_ops, addresses, values, op_types
+                log_ops, addresses, values, op_types,
+                num_real_ops=len(trace.operations),
             )
         else:
             # The reference's consistency closure is identically zero
@@ -276,6 +277,7 @@ class Twist:
         addresses: List[Fr],
         values: List[Fr],
         op_types: List[Fr],
+        num_real_ops: int = None,
     ):
         """A real (non-stub) consistency constraint with zero hypercube sum.
 
@@ -305,9 +307,16 @@ class Twist:
             le = [bool((x >> b) & 1) for b in range(max(log_ops, 1))]
             return le[::-1]
 
+        if num_real_ops is None:
+            num_real_ops = size
         mem: dict = {}  # addr -> (last value, last write index)
         err: List[Fr] = []
         for i in range(size):
+            if i >= num_real_ops:
+                # Padding rows (twist.rs:140-148 zero-fill) are not memory
+                # operations; they must not be scored as reads of address 0.
+                err.append(Fr(0))
+                continue
             addr = int(addresses[i])
             if int(op_types[i]) == 1:
                 mem[addr] = (values[i], i)

@@ -160,6 +160,14 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+    # Exactness testing doesn't need the real chip; CPU avoids minutes-long
+    # axon tunnel compiles per shape.
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
     rng = random.Random(args.seed)
     print(f"differential fuzz: iters={args.iters} seed={args.seed}")
     fuzz_poly(rng, args.iters)
