@@ -1,0 +1,387 @@
+"""Verifier-enforced sound mode (tnsh.protocols.sound) + PST PCS tests.
+
+The reference has no analogue of these: its consistency sum-checks prove
+the zero polynomial (twist.rs:186-214, shout.rs:160-184) and openings are
+never bound to the sum-check claim.  These tests assert the tnsh
+extension actually rejects forged traces/lookups — including a malicious
+prover that fabricates self-consistent round polynomials — and that the
+PST multilinear KZG is binding.
+"""
+
+import copy
+
+import pytest
+
+from tnsh.commit.mkzg import (
+    MLOpeningProof,
+    MultilinearKZG,
+    setup_multilinear_params,
+)
+from tnsh.core.params import setup_params
+from tnsh.core.transcript import Transcript
+from tnsh.field.fr import MODULUS, Fr
+from tnsh.iop.sumcheck import SumCheckProof
+from tnsh.poly.eq import eq_eval, eq_table, lt_eval, lt_partial_table
+from tnsh.protocols.shout import LookupTable
+from tnsh.protocols.sound import (
+    MLOpening,
+    ShoutSound,
+    ShoutSoundProof,
+    TwistSound,
+    _mle_eval,
+)
+from tnsh.protocols.twist import MemoryTrace
+
+
+@pytest.fixture(scope="module")
+def params():
+    return setup_params(4)
+
+
+def _sample_table():
+    table = LookupTable([Fr(i * i) for i in range(8)])
+    for i in [3, 1, 7, 1, 0, 5]:
+        table.lookup(i)
+    return table
+
+
+def _sample_trace():
+    tr = MemoryTrace(8)
+    tr.write(1, Fr(42))
+    tr.write(3, Fr(7))
+    assert tr.read(1) == Fr(42)
+    tr.write(1, Fr(100))
+    assert tr.read(1) == Fr(100)
+    assert tr.read(5) == Fr(0)
+    return tr
+
+
+# ---------------------------------------------------------------------------
+# eq / lt helpers
+# ---------------------------------------------------------------------------
+
+class TestEqLt:
+    def test_eq_table_matches_eq_eval(self):
+        rho = [Fr(3), Fr(11), Fr(70007)]
+        tab = eq_table(rho)
+        for j in range(8):
+            jb = [Fr((j >> i) & 1) for i in range(3)]
+            assert tab[j] == int(eq_eval(rho, jb))
+
+    def test_lt_numeric_on_booleans(self):
+        n = 4
+        for a in range(16):
+            for b in range(16):
+                ab = [Fr((a >> i) & 1) for i in range(n)]
+                bb = [Fr((b >> i) & 1) for i in range(n)]
+                assert int(lt_eval(ab, bb)) == (1 if a < b else 0)
+
+    def test_lt_partial_table(self):
+        n = 3
+        y = [Fr(5), Fr(77), Fr(123456)]
+        tab = lt_partial_table(n, y)
+        for j in range(8):
+            jb = [Fr((j >> i) & 1) for i in range(n)]
+            assert tab[j] == int(lt_eval(jb, y))
+
+
+# ---------------------------------------------------------------------------
+# PST multilinear KZG
+# ---------------------------------------------------------------------------
+
+class TestMultilinearKZG:
+    def test_commit_open_verify(self):
+        params, vk = setup_multilinear_params(3)
+        evals = [Fr(7 * i + 1) for i in range(8)]
+        c = MultilinearKZG.commit(params, evals)
+        point = [Fr(5), Fr(999), Fr(123456789)]
+        v, proof = MultilinearKZG.open(params, evals, point)
+        assert v == _mle_eval(evals, point)
+        assert MultilinearKZG.verify(vk, c, point, v, proof)
+
+    def test_wrong_value_rejected(self):
+        params, vk = setup_multilinear_params(2)
+        evals = [Fr(1), Fr(2), Fr(3), Fr(4)]
+        c = MultilinearKZG.commit(params, evals)
+        point = [Fr(9), Fr(10)]
+        v, proof = MultilinearKZG.open(params, evals, point)
+        assert not MultilinearKZG.verify(vk, c, point, v + Fr(1), proof)
+
+    def test_wrong_point_rejected(self):
+        params, vk = setup_multilinear_params(2)
+        evals = [Fr(1), Fr(2), Fr(3), Fr(4)]
+        c = MultilinearKZG.commit(params, evals)
+        v, proof = MultilinearKZG.open(params, evals, [Fr(9), Fr(10)])
+        assert not MultilinearKZG.verify(vk, c, [Fr(9), Fr(11)], v, proof)
+
+    def test_zero_vars(self):
+        params, vk = setup_multilinear_params(0)
+        c = MultilinearKZG.commit(params, [Fr(42)])
+        v, proof = MultilinearKZG.open(params, [Fr(42)], [])
+        assert v == Fr(42)
+        assert MultilinearKZG.verify(vk, c, [], v, proof)
+        assert not MultilinearKZG.verify(vk, c, [], Fr(41), proof)
+
+    def test_proof_roundtrip_serialization(self):
+        params, vk = setup_multilinear_params(3)
+        evals = [Fr(i * i) for i in range(8)]
+        point = [Fr(2), Fr(3), Fr(4)]
+        v, proof = MultilinearKZG.open(params, evals, point)
+        blob = proof.serialize_compressed()
+        back = MLOpeningProof.deserialize_compressed(blob)
+        c = MultilinearKZG.commit(params, evals)
+        assert MultilinearKZG.verify(vk, c, point, v, back)
+
+
+# ---------------------------------------------------------------------------
+# Sound Shout
+# ---------------------------------------------------------------------------
+
+class TestShoutSound:
+    def test_honest_accepts(self, params):
+        pp, vp = params
+        table = _sample_table()
+        proof = ShoutSound.prove(table, pp)
+        assert ShoutSound.verify(proof, table.entries, vp)
+
+    def test_empty_lookups(self, params):
+        pp, vp = params
+        table = LookupTable([Fr(i) for i in range(4)])
+        proof = ShoutSound.prove(table, pp)
+        assert ShoutSound.verify(proof, table.entries, vp)
+
+    def test_single_lookup(self, params):
+        pp, vp = params
+        table = LookupTable([Fr(10), Fr(20)])
+        table.lookup(1)
+        proof = ShoutSound.prove(table, pp)
+        assert ShoutSound.verify(proof, table.entries, vp)
+
+    def test_tampered_rv_opening_rejected(self, params):
+        pp, vp = params
+        table = _sample_table()
+        proof = ShoutSound.prove(table, pp)
+        bad = copy.deepcopy(proof)
+        bad.rv_at_rho = MLOpening(
+            bad.rv_at_rho.value + Fr(1), bad.rv_at_rho.proof
+        )
+        assert not ShoutSound.verify(bad, table.entries, vp)
+
+    def test_tampered_final_evaluation_rejected(self, params):
+        pp, vp = params
+        table = _sample_table()
+        proof = ShoutSound.prove(table, pp)
+        bad = copy.deepcopy(proof)
+        bad.read_check.final_evaluation = (
+            bad.read_check.final_evaluation + Fr(1)
+        )
+        assert not ShoutSound.verify(bad, table.entries, vp)
+
+    def test_swapped_commitment_rejected(self, params):
+        pp, vp = params
+        table = _sample_table()
+        proof = ShoutSound.prove(table, pp)
+        bad = copy.deepcopy(proof)
+        bad.ra_commitment, bad.rv_commitment = (
+            bad.rv_commitment, bad.ra_commitment,
+        )
+        assert not ShoutSound.verify(bad, table.entries, vp)
+
+    def test_wrong_table_rejected(self, params):
+        pp, vp = params
+        table = _sample_table()
+        proof = ShoutSound.prove(table, pp)
+        other = [Fr(i * i + 1) for i in range(8)]
+        assert not ShoutSound.verify(proof, other, vp)
+
+    def test_malicious_prover_fabricated_rounds_rejected(self, params):
+        """A cheating prover commits to WRONG lookup outputs, then pushes
+        the sum-check through with fabricated (self-consistent) constant
+        round polynomials.  Every round passes the g(0)+g(1) chain; only
+        the final-evaluation binding to the PST openings catches it —
+        which is exactly the check the reference does not have."""
+        pp, vp = params
+        table = _sample_table()
+        honest = ShoutSound.prove(table, pp)
+
+        # Forged rv: lookup 2 claims 999 instead of 49.
+        entries = [int(e) for e in table.entries]
+        k_size, t_size = 8, 8
+        log_k = log_t = 3
+        n = log_k + log_t
+        ra = [0] * (k_size * t_size)
+        rv = [0] * t_size
+        for j in range(t_size):
+            idx = (
+                table.lookups[j].index if j < len(table.lookups) else 0
+            )
+            ra[j * k_size + idx] = 1
+            rv[j] = entries[idx]
+        rv[2] = 999  # the lie
+
+        params_n, _ = setup_multilinear_params(n)
+        params_t, _ = setup_multilinear_params(log_t)
+        c_ra = MultilinearKZG.commit(params_n, ra)
+        c_rv = MultilinearKZG.commit(params_t, rv)
+
+        from tnsh.protocols.sound import _shout_bind_statement
+
+        transcript = Transcript(pp.fiat_shamir_seed)
+        _shout_bind_statement(transcript, log_k, log_t, entries, c_ra, c_rv)
+
+        def fabricate(num_vars, claimed):
+            """Constant round polys g(X) = claimed/2 each round."""
+            rounds = []
+            cur = int(claimed)
+            challenges = []
+            inv2 = pow(2, MODULUS - 2, MODULUS)
+            for r in range(num_vars):
+                half = cur * inv2 % MODULUS
+                poly = [Fr(half), Fr(0), Fr(0), Fr(0)]
+                rounds.append(poly)
+                transcript.append_field_elements(
+                    f"sumcheck_round_{r}".encode(), poly
+                )
+                c = transcript.challenge_field_element(
+                    f"sumcheck_challenge_{r}".encode()
+                )
+                challenges.append(c)
+                cur = half  # constant poly: g(c) = half
+            return SumCheckProof(rounds, Fr(cur)), challenges
+
+        rho_read = transcript.challenge_field_elements(
+            b"ssound_rho_read", log_t
+        )
+        claimed = _mle_eval(rv, rho_read)
+        read_proof, r1 = fabricate(n, claimed)
+        rho_bool = transcript.challenge_field_elements(b"ssound_rho_bool", n)
+        bool_proof, r2 = fabricate(n, Fr(0))
+        rho_one = transcript.challenge_field_elements(
+            b"ssound_rho_onehot", log_t
+        )
+        onehot_proof, r3 = fabricate(n, Fr(1))
+
+        rv_val, rv_open = MultilinearKZG.open(params_t, rv, rho_read)
+        ra1 = MultilinearKZG.open(params_n, ra, r1)
+        ra2 = MultilinearKZG.open(params_n, ra, r2)
+        ra3 = MultilinearKZG.open(params_n, ra, r3)
+
+        forged = ShoutSoundProof(
+            log_table=log_k,
+            log_lookups=log_t,
+            ra_commitment=c_ra,
+            rv_commitment=c_rv,
+            read_check=read_proof,
+            bool_check=bool_proof,
+            onehot_check=onehot_proof,
+            rv_at_rho=MLOpening(rv_val, rv_open),
+            ra_at_read=MLOpening(*ra1),
+            ra_at_bool=MLOpening(*ra2),
+            ra_at_onehot=MLOpening(*ra3),
+        )
+        assert not ShoutSound.verify(forged, table.entries, vp)
+        # sanity: the honest proof still verifies with the same params
+        assert ShoutSound.verify(honest, table.entries, vp)
+
+
+# ---------------------------------------------------------------------------
+# Sound Twist
+# ---------------------------------------------------------------------------
+
+class TestTwistSound:
+    def test_honest_accepts(self, params):
+        pp, vp = params
+        tr = _sample_trace()
+        proof = TwistSound.prove(tr, pp)
+        assert TwistSound.verify(proof, vp)
+
+    def test_empty_trace(self, params):
+        pp, vp = params
+        tr = MemoryTrace(4)
+        proof = TwistSound.prove(tr, pp)
+        assert TwistSound.verify(proof, vp)
+
+    def test_write_only(self, params):
+        pp, vp = params
+        tr = MemoryTrace(4)
+        for i in range(4):
+            tr.write(i, Fr(i * 10))
+        proof = TwistSound.prove(tr, pp)
+        assert TwistSound.verify(proof, vp)
+
+    def test_read_only(self, params):
+        pp, vp = params
+        tr = MemoryTrace(4)
+        for i in range(4):
+            assert tr.read(i) == Fr(0)
+        proof = TwistSound.prove(tr, pp)
+        assert TwistSound.verify(proof, vp)
+
+    def test_overwrite_sequence(self, params):
+        pp, vp = params
+        tr = MemoryTrace(2)
+        tr.write(0, Fr(1))
+        tr.write(0, Fr(2))
+        tr.write(0, Fr(3))
+        assert tr.read(0) == Fr(3)
+        proof = TwistSound.prove(tr, pp)
+        assert TwistSound.verify(proof, vp)
+
+    def test_tampered_rv_opening_rejected(self, params):
+        pp, vp = params
+        proof = TwistSound.prove(_sample_trace(), pp)
+        bad = copy.deepcopy(proof)
+        bad.openings[0] = MLOpening(
+            bad.openings[0].value + Fr(1), bad.openings[0].proof
+        )
+        assert not TwistSound.verify(bad, vp)
+
+    def test_tampered_increment_rejected(self, params):
+        pp, vp = params
+        proof = TwistSound.prove(_sample_trace(), pp)
+        bad = copy.deepcopy(proof)
+        bad.openings[4] = MLOpening(
+            bad.openings[4].value + Fr(1), bad.openings[4].proof
+        )
+        assert not TwistSound.verify(bad, vp)
+
+    def test_tampered_final_evaluations_rejected(self, params):
+        pp, vp = params
+        proof = TwistSound.prove(_sample_trace(), pp)
+        for field in (
+            "read_check", "val_check", "inc_check",
+            "bool_ra_check", "rowsum_ra_check",
+        ):
+            bad = copy.deepcopy(proof)
+            sc = getattr(bad, field)
+            sc.final_evaluation = sc.final_evaluation + Fr(1)
+            assert not TwistSound.verify(bad, vp), field
+
+    def test_stale_read_forgery_rejected(self, params):
+        """Malicious prover: honest ra/wa/ot/wv/Inc/Val encodings for
+        [write 1=42, write 1=100] but rv claims the read of cell 1
+        returned the STALE 42.  All tables are committed as claimed and
+        all sum-checks are fabricated self-consistently; the READ check's
+        final binding must reject."""
+        pp, vp = params
+        tr = MemoryTrace(8)
+        tr.write(1, Fr(42))
+        tr.write(1, Fr(100))
+        tr.read(1)
+        honest = TwistSound.prove(tr, pp)
+        bad = copy.deepcopy(honest)
+        # rv opening at rho1 backs the READ claimed sum; shifting the rv
+        # commitment to the stale-value table breaks either the opening
+        # (vs the honest commitment) or the claimed sum (vs honest rv).
+        bad.openings[0] = MLOpening(Fr(42), bad.openings[0].proof)
+        assert not TwistSound.verify(bad, vp)
+        assert TwistSound.verify(honest, vp)
+
+    def test_proof_independent_of_memory_contents_padding(self, params):
+        pp, vp = params
+        tr = MemoryTrace(8)
+        tr.write(7, Fr(5))
+        tr.read(7)
+        tr.read(0)
+        proof = TwistSound.prove(tr, pp)
+        assert TwistSound.verify(proof, vp)

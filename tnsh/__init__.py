@@ -46,7 +46,18 @@ from .field.g2 import G2 as G2Element
 from .iop.sumcheck import SumCheck, SumCheckProof, SumCheckVerifier
 from .poly.lt import LessThanPolynomial
 from .poly.mle import MultilinearExtension
+from .commit.mkzg import (
+    MLOpeningProof,
+    MultilinearKZG,
+    setup_multilinear_params,
+)
 from .protocols.shout import LookupOp, LookupTable, Shout, ShoutProof
+from .protocols.sound import (
+    ShoutSound,
+    ShoutSoundProof,
+    TwistSound,
+    TwistSoundProof,
+)
 from .protocols.twist import (
     MemoryOp,
     MemoryOpKind,
@@ -80,7 +91,9 @@ __all__ = [
     "MemoryOp",
     "MemoryOpKind",
     "MemoryTrace",
+    "MLOpeningProof",
     "MultilinearExtension",
+    "MultilinearKZG",
     "PolynomialError",
     "ProofGenerationError",
     "ProofVerificationError",
@@ -88,6 +101,8 @@ __all__ = [
     "ProverParams",
     "Shout",
     "ShoutProof",
+    "ShoutSound",
+    "ShoutSoundProof",
     "SumCheck",
     "SumCheckError",
     "SumCheckProof",
@@ -96,8 +111,11 @@ __all__ = [
     "Twist",
     "TwistAndShoutError",
     "TwistProof",
+    "TwistSound",
+    "TwistSoundProof",
     "VectorCommitmentScheme",
     "VerifierParams",
     "benchmark_setup",
+    "setup_multilinear_params",
     "setup_params",
 ]

@@ -1,0 +1,224 @@
+"""PST-style multilinear KZG polynomial commitment (tnsh extension).
+
+The reference commits to traces via *univariate* KZG over the domain
+{0..n-1} (commitments.rs:162-199), which cannot bind the sum-check's final
+multilinear evaluation to the committed data — that gap is why its
+consistency closures can be (and are) identically zero (SURVEY caveats 1,
+4).  Verifier-enforced sound mode (tnsh.protocols.sound) needs a PCS whose
+openings ARE multilinear evaluations; this module provides the standard
+Papamanthou–Shi–Tamassia (PST13) multilinear KZG over BN254:
+
+  setup   : taus = (tau_0..tau_{n-1}) drawn from the deterministic ChaCha20
+            stream (same transparency stance as the reference, which keeps
+            tau in ProverParams — utils.rs:62); SRS = the multilinear
+            Lagrange basis at tau, [eq(b, tau)]_1 for b in {0,1}^m over
+            every suffix (tau_i..tau_{n-1}), plus [tau_i]_2.
+  commit  : C = sum_b v_b [eq(b, tau)]_1 = [~v(tau)]_1 — one MSM over the
+            raw evaluation table (native Pippenger via tnsh.commit.kzg.msm).
+  open(r) : v = ~v(r) plus n quotient commitments Q_i with
+            ~v(X) - v = sum_i (X_i - r_i) q_i(X_{i+1..}); q_i is the
+            fold-difference table, so the whole opening is O(2^n) field ops
+            + n shrinking MSMs.
+  verify  : e(C - [v]_1, [1]_2) == prod_i e(Q_i, [tau_i]_2 - [r_i]_2),
+            checked as a single pairing product (native multi-Miller loop).
+
+Variable order matches the sum-check engine: variable 0 is the FASTEST
+index bit (little-endian, reference polynomials.rs:108-122), and opening
+folds variable 0 first — so a sum-check challenge vector is directly a
+valid opening point.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Optional, Sequence, Tuple
+
+from ..core.params import SETUP_SEED
+from ..core.rng import ChaCha20Rng, fr_rand
+from ..errors import CommitmentError
+from ..field.fr import MODULUS, Fr
+from ..field.g1 import G1
+from ..field.g2 import G2
+from .kzg import KZGCommitmentValue, msm
+
+_P = MODULUS
+
+
+@dataclass
+class MLCommitmentParams:
+    """Prover-side SRS for up to ``num_vars`` variables.
+
+    ``basis[i]`` is the Lagrange basis at ``(tau_i..tau_{n-1})`` — a list of
+    ``2^(n-i)`` G1 points; ``basis[0]`` commits full-width polynomials and
+    ``basis[i+1]`` commits the i-th opening quotient.
+    """
+
+    num_vars: int
+    basis: List[List[G1]]
+    taus: Optional[List[Fr]]
+
+
+@dataclass
+class MLVerificationKey:
+    g1_generator: G1
+    g2_generator: G2
+    g2_taus: List[G2]
+
+
+@dataclass
+class MLOpeningProof:
+    """value + per-variable quotient commitments."""
+
+    quotients: List[G1]
+
+    def serialize_compressed(self) -> bytes:
+        from ..core.serialize import g1_to_bytes
+
+        out = [len(self.quotients).to_bytes(8, "little")]
+        out += [g1_to_bytes(q) for q in self.quotients]
+        return b"".join(out)
+
+    @classmethod
+    def deserialize_compressed(cls, data: bytes) -> "MLOpeningProof":
+        from ..core.serialize import g1_from_bytes
+
+        n = int.from_bytes(data[:8], "little")
+        qs = []
+        off = 8
+        for _ in range(n):
+            qs.append(g1_from_bytes(data[off : off + 32]))
+            off += 32
+        return cls(qs)
+
+
+def _basis_scalars(taus: Sequence[Fr]) -> List[int]:
+    """eq(b, taus) for all b, little-endian (variable 0 = bit 0, fastest)."""
+    table = [1]
+    for t in taus:  # variable m joins as the SLOWEST bit so far -> bit m
+        ti = int(t)
+        nt = (1 - ti) % _P
+        table = [v * nt % _P for v in table] + [v * ti % _P for v in table]
+    return table
+
+
+@lru_cache(maxsize=32)
+def setup_multilinear_params(
+    num_vars: int,
+) -> Tuple[MLCommitmentParams, MLVerificationKey]:
+    """Deterministic PST setup for ``num_vars`` variables.
+
+    Seeded from the same fixed ``[42u8; 32]`` stream discipline as the
+    reference's ``setup_params`` (utils.rs:81) so prover and verifier derive
+    identical parameters with no interaction.
+    """
+    import os
+
+    rng = ChaCha20Rng.from_seed(SETUP_SEED)
+    taus = [fr_rand(rng) for _ in range(num_vars)]
+    g1_gen = G1.generator()
+    g2_gen = G2.generator()
+
+    all_scalars: List[Fr] = []
+    seg_sizes: List[int] = []
+    for i in range(num_vars + 1):
+        seg = _basis_scalars(taus[i:])
+        seg_sizes.append(len(seg))
+        all_scalars.extend(Fr(s) for s in seg)
+
+    from .. import _native
+    from ..core.params import _fixed_base_powers
+
+    if _native.available and not os.environ.get("TNSH_NO_NATIVE"):
+        pts = _native.fixed_base_batch(g1_gen, all_scalars)
+    else:
+        pts = _fixed_base_powers(g1_gen, all_scalars)
+    basis: List[List[G1]] = []
+    off = 0
+    for size in seg_sizes:
+        basis.append(pts[off : off + size])
+        off += size
+
+    if _native.available and not os.environ.get("TNSH_NO_NATIVE"):
+        g2_taus = [_native.g2_scalar_mul(g2_gen, t) for t in taus]
+    else:
+        g2_taus = [g2_gen.scalar_mul(int(t)) for t in taus]
+
+    params = MLCommitmentParams(num_vars=num_vars, basis=basis, taus=taus)
+    vk = MLVerificationKey(
+        g1_generator=g1_gen, g2_generator=g2_gen, g2_taus=g2_taus
+    )
+    return params, vk
+
+
+class MultilinearKZG:
+    """Commit / open / verify for dense multilinear evaluation tables."""
+
+    @staticmethod
+    def commit(
+        params: MLCommitmentParams, evaluations: Sequence[Fr]
+    ) -> KZGCommitmentValue:
+        n_vars = _infer_vars(len(evaluations))
+        if n_vars > params.num_vars:
+            raise CommitmentError("polynomial exceeds SRS size")
+        seg = params.basis[params.num_vars - n_vars]
+        return KZGCommitmentValue(msm(seg, list(evaluations)))
+
+    @staticmethod
+    def open(
+        params: MLCommitmentParams,
+        evaluations: Sequence[Fr],
+        point: Sequence[Fr],
+    ) -> Tuple[Fr, MLOpeningProof]:
+        n_vars = _infer_vars(len(evaluations))
+        if len(point) != n_vars:
+            raise CommitmentError("opening point has wrong arity")
+        offset = params.num_vars - n_vars
+        table = [int(v) % _P for v in evaluations]
+        quotients: List[G1] = []
+        for i in range(n_vars):
+            half = len(table) // 2
+            diff = [(table[2 * j + 1] - table[2 * j]) % _P for j in range(half)]
+            quotients.append(msm(params.basis[offset + i + 1], [Fr(d) for d in diff]))
+            r = int(point[i])
+            table = [
+                (table[2 * j] + r * diff[j]) % _P for j in range(half)
+            ]
+        return Fr(table[0]), MLOpeningProof(quotients)
+
+    @staticmethod
+    def verify(
+        vk: MLVerificationKey,
+        commitment: KZGCommitmentValue,
+        point: Sequence[Fr],
+        value: Fr,
+        proof: MLOpeningProof,
+        num_total_vars: Optional[int] = None,
+    ) -> bool:
+        n_vars = len(point)
+        if len(proof.quotients) != n_vars:
+            return False
+        total = num_total_vars if num_total_vars is not None else n_vars
+        offset = total - n_vars
+        import os
+
+        left = commitment.commitment - vk.g1_generator.scalar_mul(int(value))
+        pairs = [(left.neg(), vk.g2_generator)]
+        for i in range(n_vars):
+            g2_term = vk.g2_taus[offset + i] - vk.g2_generator.scalar_mul(
+                int(point[i])
+            )
+            pairs.append((proof.quotients[i], g2_term))
+        from .. import _native
+
+        if _native.available and not os.environ.get("TNSH_NO_NATIVE"):
+            return _native.pairing_product_is_one(pairs)
+        from ..field.pairing import pairing_product_is_one
+
+        return pairing_product_is_one(pairs)
+
+
+def _infer_vars(length: int) -> int:
+    if length <= 0 or length & (length - 1):
+        raise CommitmentError("evaluation table must be a power of two")
+    return length.bit_length() - 1

@@ -176,6 +176,79 @@ class ProductMLEOracle(SumcheckOracle):
         return Fr(prod)
 
 
+class SumOfProductsOracle(SumcheckOracle):
+    """Linear combination of products of dense tables:
+
+        f(x) = sum_t coeff_t * prod_m T_{t,m}(x)
+
+    over {0,1}^num_vars, evaluated by table folding like
+    ``ProductMLEOracle``.  Tables passed by identity are deduplicated so a
+    table shared between terms is folded exactly once per round.  This is
+    the oracle for the verifier-enforced sound-mode constraint systems
+    (tnsh.protocols.sound), whose checks are small sums of degree-<=3
+    products (eq * witness * witness).
+    """
+
+    def __init__(self, num_vars: int, terms):
+        """``terms``: sequence of ``(coeff, [table, ...])`` where each table
+        is a list of ints/Fr of length ``2^num_vars``."""
+        size = 1 << num_vars
+        self.num_vars = num_vars
+        self._tables: List[List[int]] = []
+        self._terms: List[tuple] = []
+        seen = {}
+        for coeff, tabs in terms:
+            idxs = []
+            for t in tabs:
+                key = id(t)
+                if key not in seen:
+                    if len(t) != size:
+                        raise SumCheckError("table size mismatch")
+                    seen[key] = len(self._tables)
+                    self._tables.append([int(v) % _P for v in t])
+                idxs.append(seen[key])
+            self._terms.append((int(coeff) % _P, idxs))
+        if not self._terms:
+            raise SumCheckError("SumOfProductsOracle needs at least one term")
+
+    def round_evaluations(self, round_index: int) -> List[Fr]:
+        half = len(self._tables[0]) // 2
+        sums = [0, 0, 0, 0]
+        for s in range(half):
+            lo_hi = [(t[2 * s], t[2 * s + 1]) for t in self._tables]
+            for xi in range(4):
+                pt_vals = [
+                    (lo + xi * (hi - lo)) % _P for lo, hi in lo_hi
+                ]
+                total = 0
+                for coeff, idxs in self._terms:
+                    prod = coeff
+                    for m in idxs:
+                        prod = prod * pt_vals[m] % _P
+                    total += prod
+                sums[xi] += total
+        return [Fr(v) for v in sums]
+
+    def bind(self, challenge: Fr) -> None:
+        r = int(challenge)
+        self._tables = [
+            [
+                (t[2 * i] + r * (t[2 * i + 1] - t[2 * i])) % _P
+                for i in range(len(t) // 2)
+            ]
+            for t in self._tables
+        ]
+
+    def final_evaluation(self, challenges: Sequence[Fr]) -> Fr:
+        total = 0
+        for coeff, idxs in self._terms:
+            prod = coeff
+            for m in idxs:
+                prod = prod * self._tables[m][0] % _P
+            total += prod
+        return Fr(total % _P)
+
+
 class JaxProductMLEOracle(SumcheckOracle):
     """TPU-backed product-of-MLEs oracle (tnsh.poly.mle_jax kernels).
 
@@ -244,6 +317,12 @@ class SumCheck:
     def prove(self, polynomial, transcript: Transcript) -> SumCheckProof:
         """``polynomial`` is a ``SumcheckOracle`` or a plain callable
         (wrapped in ``CallableOracle`` with reference-exact semantics)."""
+        proof, _ = self.prove_with_challenges(polynomial, transcript)
+        return proof
+
+    def prove_with_challenges(self, polynomial, transcript: Transcript):
+        """Like ``prove`` but also returns the verifier challenge vector —
+        sound-mode callers open PCS commitments at exactly this point."""
         oracle = (
             polynomial
             if isinstance(polynomial, SumcheckOracle)
@@ -277,7 +356,7 @@ class SumCheck:
             current_sum = _evaluate_round_polynomial(round_poly, challenge)
 
         final_evaluation = oracle.final_evaluation(challenges)
-        return SumCheckProof(round_polynomials, final_evaluation)
+        return SumCheckProof(round_polynomials, final_evaluation), challenges
 
     def verify(self, proof: SumCheckProof, transcript: Transcript):
         """Returns ``(is_valid, challenges)`` (reference sumcheck.rs:113-153)."""
