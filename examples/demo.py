@@ -77,6 +77,28 @@ def main() -> None:
     one_hot = MultilinearExtension.one_hot(3, 5)
     bits = [Fr((5 >> j) & 1) for j in range(3)]
     print(f"  one_hot(3,5) at index-5 bits: {field_to_u64(one_hot.evaluate(bits))}")
+
+    print("\nPart 5: verifier-enforced sound mode (tnsh extension)")
+    from tnsh import ShoutSound, TwistSound
+
+    strace = MemoryTrace(8)
+    strace.write(1, Fr(42))
+    strace.write(1, Fr(100))
+    strace.read(1)
+    tsp = TwistSound.prove(strace, prover_params)
+    print(f"  sound Twist proof valid: {TwistSound.verify(tsp, verifier_params)}")
+    stable = LookupTable([Fr(i * i) for i in range(8)])
+    stable.lookup(3)
+    stable.lookup(6)
+    ssp = ShoutSound.prove(stable, prover_params)
+    ok = ShoutSound.verify(ssp, stable.entries, verifier_params)
+    print(f"  sound Shout proof valid: {ok}")
+    # tamper with the claimed read value -> cryptographic rejection
+    from tnsh.protocols.sound import MLOpening
+
+    tsp.openings[0] = MLOpening(tsp.openings[0].value + Fr(1),
+                                tsp.openings[0].proof)
+    print(f"  tampered sound proof rejected: {not TwistSound.verify(tsp, verifier_params)}")
     print("\nDemo complete.")
 
 

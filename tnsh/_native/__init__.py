@@ -59,6 +59,8 @@ def _load() -> None:
         ("fr_interp_range", [c_u8p, ctypes.c_size_t, c_u8p], None),
         ("fr_horner", [c_u8p, ctypes.c_size_t, c_u8p, c_u8p], None),
         ("fr_quotient", [c_u8p, ctypes.c_size_t, c_u8p, c_u8p], None),
+        ("fr_lagrange_tau", [c_u8p, ctypes.c_size_t, c_u8p], None),
+        ("fr_open_evals", [c_u8p, ctypes.c_size_t, c_u8p, c_u8p, c_u8p], None),
         ("g1_scalar_mul_c", [c_u8p, c_u8p, c_u8p], None),
         ("g1_add_c", [c_u8p, c_u8p, c_u8p], None),
         ("g1_msm", [c_u8p, c_u8p, ctypes.c_size_t, c_u8p], None),
@@ -229,13 +231,46 @@ def pairing_product_is_one(pairs) -> bool:
     return bool(_lib.pairing_product_is_one_c(_buf(g1s), _buf(g2s), len(pairs)))
 
 
+def _scalar_bytes(scalars) -> tuple:
+    """(raw bytes, count) for a scalar sequence; raw bytes pass through."""
+    if isinstance(scalars, (bytes, bytearray)):
+        return bytes(scalars), len(scalars) // 32
+    return (
+        b"".join(int(s).to_bytes(32, "little") for s in scalars),
+        len(scalars),
+    )
+
+
+def fr_lagrange_tau(tau, n: int) -> bytes:
+    """Raw bytes of [L_i(tau)]_{i<n} for the domain {0..n-1} (n * 32 B)."""
+    raw, out = _out(32 * n)
+    _lib.fr_lagrange_tau(_buf(int(tau).to_bytes(32, "little")), n, out)
+    return raw.raw
+
+
+def fr_open_evals(values, z):
+    """(value, quotient_bytes) of the {0..n-1}-interpolant opening at z.
+
+    ``values`` may be a sequence of Fr or raw bytes.  Matches
+    barycentric_eval + the Python quotient loop bit-for-bit."""
+    from ..field.fr import Fr
+
+    vals, n = _scalar_bytes(values)
+    raw_q, out_q = _out(32 * n)
+    raw_v, out_v = _out(32)
+    _lib.fr_open_evals(_buf(vals), n, _buf(int(z).to_bytes(32, "little")),
+                       out_q, out_v)
+    return Fr(int.from_bytes(raw_v.raw, "little")), raw_q.raw
+
+
 # -- native-resident SRS handles --------------------------------------------
 
 def srs_create_fixed_base(base, scalars) -> int:
-    """Build {s_i * base} in native memory; returns a handle id."""
-    scs = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    """Build {s_i * base} in native memory; returns a handle id.
+    ``scalars`` may be a sequence of Fr or raw 32 B/elem bytes."""
+    scs, n = _scalar_bytes(scalars)
     return int(_lib.srs_create_fixed_base(_buf(_g1_to_bytes(base)), _buf(scs),
-                                          len(scalars)))
+                                          n))
 
 
 def srs_create_from_points(points) -> int:
@@ -254,10 +289,11 @@ def srs_point(srs_id: int, idx: int):
 
 
 def srs_msm(srs_id: int, scalars):
-    """MSM of the first len(scalars) SRS points against the scalars."""
-    scs = b"".join(int(s).to_bytes(32, "little") for s in scalars)
+    """MSM of the first len(scalars) SRS points against the scalars
+    (sequence of Fr or raw 32 B/elem bytes)."""
+    scs, n = _scalar_bytes(scalars)
     raw, out = _out(64)
-    _lib.srs_msm(srs_id, _buf(scs), len(scalars), out)
+    _lib.srs_msm(srs_id, _buf(scs), n, out)
     return _g1_from_bytes(raw.raw)
 
 

@@ -1015,6 +1015,11 @@ static Fq12 final_exp_naive(const Fq12 &f) {
     return fq12_pow(m, HARD_EXP_LIMBS, HARD_EXP_NLIMBS);
 }
 
+// Forward decls (defined with the SRS handle code below).
+struct AffinePt;
+static G1J pippenger_affine_entry(const uint8_t *points,
+                                  const uint8_t *scalars, size_t n);
+
 // ---------------------------------------------------------------------------
 // C ABI
 // ---------------------------------------------------------------------------
@@ -1145,6 +1150,121 @@ void fr_quotient(const uint8_t *coeffs, size_t n, const uint8_t *z,
     }
 }
 
+// Lagrange-at-tau scalars for the evaluation-basis SRS (domain {0..n-1}):
+//   L_i(tau) = prod_j (tau - j) / ((tau - i) * (-1)^(n-1-i) * i! * (n-1-i)!)
+// One pass of prefix products + a single inversion; replaces the O(n)
+// Python Fr loop that dominated commit-time SRS derivation at 2^20.
+void fr_lagrange_tau(const uint8_t *tau_b, size_t n, uint8_t *out) {
+    if (n == 0) return;
+    u64 traw[4], tau[4];
+    bytes_to_limbs(traw, tau_b);
+    to_mont(tau, traw, FR);
+    std::vector<u64> t(4 * n), fact(4 * n), d(4 * n), pref(4 * (n + 1));
+    // t_i = tau - i ; fact_k = k!  (both Montgomery, incremental walks)
+    u64 cur[4], km[4];
+    memcpy(cur, tau, 32);
+    memcpy(&fact[0], FR.one, 32);
+    memset(km, 0, 32);
+    for (size_t i = 0; i < n; i++) {
+        memcpy(&t[4 * i], cur, 32);
+        sub_mod(cur, cur, FR.one, FR);
+        if (i > 0) {
+            add_mod(km, km, FR.one, FR);  // km = i (mont)
+            mmul(&fact[4 * i], &fact[4 * (i - 1)], km, FR);
+        }
+    }
+    // d_i = (+-) i! (n-1-i)! (tau - i); prefix products for batch inverse
+    u64 full[4];
+    memcpy(full, FR.one, 32);
+    memcpy(&pref[0], FR.one, 32);
+    for (size_t i = 0; i < n; i++) {
+        u64 den[4];
+        mmul(den, &fact[4 * i], &fact[4 * (n - 1 - i)], FR);
+        if ((n - 1 - i) % 2 == 1) neg_mod(den, den, FR);
+        mmul(&d[4 * i], den, &t[4 * i], FR);
+        mmul(&pref[4 * (i + 1)], &pref[4 * i], &d[4 * i], FR);
+        mmul(full, full, &t[4 * i], FR);
+    }
+    u64 inv[4];
+    minv(inv, &pref[4 * n], FR);
+    for (size_t i = n; i-- > 0;) {
+        u64 di_inv[4], s[4], sc[4];
+        mmul(di_inv, inv, &pref[4 * i], FR);
+        mmul(inv, inv, &d[4 * i], FR);
+        mmul(sc, full, di_inv, FR);
+        from_mont(s, sc, FR);
+        limbs_to_bytes(out + 32 * i, s);
+    }
+}
+
+// Barycentric evaluation + evaluation-local KZG quotient for open_evals:
+//   value = [sum_i v_i * w_i / (z-i)] * prod_i (z-i),   w_i = 1/denom_i
+//   q_i   = (value - v_i) / (z - i)
+// denom_i = (-1)^(n-1-i) i! (n-1-i)!.  One batch inversion serves both.
+void fr_open_evals(const uint8_t *vals, size_t n, const uint8_t *z_b,
+                   uint8_t *out_q, uint8_t *out_value) {
+    if (n == 0) return;
+    u64 zraw[4], z[4];
+    bytes_to_limbs(zraw, z_b);
+    to_mont(z, zraw, FR);
+    std::vector<u64> diff(4 * n), fact(4 * n), den(4 * n), d(4 * n),
+        pref(4 * (n + 1)), v(4 * n);
+    u64 cur[4], km[4];
+    memcpy(cur, z, 32);
+    memcpy(&fact[0], FR.one, 32);
+    memset(km, 0, 32);
+    for (size_t i = 0; i < n; i++) {
+        memcpy(&diff[4 * i], cur, 32);  // z - i
+        sub_mod(cur, cur, FR.one, FR);
+        if (i > 0) {
+            add_mod(km, km, FR.one, FR);
+            mmul(&fact[4 * i], &fact[4 * (i - 1)], km, FR);
+        }
+        u64 raw[4];
+        bytes_to_limbs(raw, vals + 32 * i);
+        to_mont(&v[4 * i], raw, FR);
+    }
+    u64 full[4];
+    memcpy(full, FR.one, 32);
+    memcpy(&pref[0], FR.one, 32);
+    for (size_t i = 0; i < n; i++) {
+        mmul(&den[4 * i], &fact[4 * i], &fact[4 * (n - 1 - i)], FR);
+        if ((n - 1 - i) % 2 == 1) neg_mod(&den[4 * i], &den[4 * i], FR);
+        mmul(&d[4 * i], &den[4 * i], &diff[4 * i], FR);
+        mmul(&pref[4 * (i + 1)], &pref[4 * i], &d[4 * i], FR);
+        mmul(full, full, &diff[4 * i], FR);
+    }
+    u64 inv[4];
+    minv(inv, &pref[4 * n], FR);
+    // invd_i = 1 / (denom_i * (z - i)); two passes: first accumulate value,
+    // then emit quotients (value needed before q_i).
+    std::vector<u64> invd(4 * n);
+    for (size_t i = n; i-- > 0;) {
+        mmul(&invd[4 * i], inv, &pref[4 * i], FR);
+        mmul(inv, inv, &d[4 * i], FR);
+    }
+    u64 acc[4] = {0, 0, 0, 0};
+    for (size_t i = 0; i < n; i++) {
+        u64 term[4];
+        mmul(term, &v[4 * i], &invd[4 * i], FR);
+        add_mod(acc, acc, term, FR);
+    }
+    u64 value[4];
+    mmul(value, acc, full, FR);
+    u64 vs[4];
+    from_mont(vs, value, FR);
+    limbs_to_bytes(out_value, vs);
+    // q_i = (value - v_i) * invd_i * denom_i
+    for (size_t i = 0; i < n; i++) {
+        u64 num[4], q[4], s[4];
+        sub_mod(num, value, &v[4 * i], FR);
+        mmul(q, num, &invd[4 * i], FR);
+        mmul(q, q, &den[4 * i], FR);
+        from_mont(s, q, FR);
+        limbs_to_bytes(out_q + 32 * i, s);
+    }
+}
+
 // ---- G1 ----
 
 void g1_scalar_mul_c(const uint8_t *point, const uint8_t *scalar,
@@ -1159,64 +1279,12 @@ void g1_add_c(const uint8_t *a, const uint8_t *b, uint8_t *out) {
     g1_to_bytes(out, g1_add(g1_from_bytes(a), g1_from_bytes(b)));
 }
 
-// Pippenger MSM over n (point, scalar) pairs.
+// Pippenger MSM over n (point, scalar) pairs.  Points arrive in standard
+// affine bytes; they are batch-normalized once and fed to the shared
+// GLV/signed-digit Pippenger core.
 void g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
             uint8_t *out) {
-    std::vector<G1J> pts;
-    std::vector<u64> scs;
-    pts.reserve(n);
-    for (size_t i = 0; i < n; i++) {
-        u64 k[4];
-        bytes_to_limbs(k, scalars + 32 * i);
-        if (is_zero4(k)) continue;
-        G1J p = g1_from_bytes(points + 64 * i);
-        if (g1_is_zero(p)) continue;
-        pts.push_back(p);
-        scs.insert(scs.end(), k, k + 4);
-    }
-    size_t m = pts.size();
-    if (m == 0) {
-        memset(out, 0, 64);
-        return;
-    }
-    int c = 1;
-    while ((size_t(1) << c) < m && c < 16) c++;
-    if (c > 16) c = 16;
-    if (c < 2 && m > 2) c = 2;
-    int windows = (254 + c - 1) / c;
-    u64 mask = (c == 64) ? ~0ULL : ((1ULL << c) - 1);
-    // Window partial sums are independent — compute them in parallel, then
-    // combine with the usual doubling fold.
-    std::vector<G1J> window_sums(windows);
-#ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic)
-#endif
-    for (int w = 0; w < windows; w++) {
-        std::vector<G1J> buckets((size_t(1) << c), g1_zero());
-        int shift = w * c;
-        for (size_t i = 0; i < m; i++) {
-            const u64 *k = &scs[4 * i];
-            int limb = shift / 64;
-            int off = shift % 64;
-            u64 d = k[limb] >> off;
-            if (off + c > 64 && limb + 1 < 4) d |= k[limb + 1] << (64 - off);
-            d &= mask;
-            if (d) buckets[d] = g1_add(buckets[d], pts[i]);
-        }
-        G1J running = g1_zero(), acc = g1_zero();
-        for (size_t d = buckets.size() - 1; d >= 1; d--) {
-            running = g1_add(running, buckets[d]);
-            acc = g1_add(acc, running);
-        }
-        window_sums[w] = acc;
-    }
-    G1J result = g1_zero();
-    for (int w = windows - 1; w >= 0; w--) {
-        if (!g1_is_zero(result))
-            for (int i = 0; i < c; i++) result = g1_dbl(result);
-        result = g1_add(result, window_sums[w]);
-    }
-    g1_to_bytes(out, result);
+    g1_to_bytes(out, pippenger_affine_entry(points, scalars, n));
 }
 
 // n scalar muls of a SHARED base with a shared window table
@@ -1422,10 +1490,267 @@ static void g1_batch_to_affine(const std::vector<G1J> &pts,
     }
 }
 
+// ---------------------------------------------------------------------------
+// GLV endomorphism + signed-digit windows for the MSM hot path.
+//
+// BN254 G1 has the efficiently computable endomorphism phi(x,y)=(beta*x, y)
+// acting as scalar multiplication by lambda (a primitive cube root of unity
+// mod r).  Babai rounding on a precomputed short lattice basis splits each
+// 254-bit scalar into k = k1 + lambda*k2 with |k1|,|k2| < 2^127 (verified
+// over 2e5 random scalars), halving the window count; signed-digit recoding
+// halves the bucket count, buying one extra window bit for free.  This is
+// the classic ~1.7-1.9x Pippenger speedup the reference's per-term
+// scalar-mul MSM (commitments.rs:173-177) leaves on the table.
+// ---------------------------------------------------------------------------
+
+// beta (standard form) — cube root of unity in Fq matching lambda.
+static const u64 GLV_BETA_STD[4] = {0x5763473177fffffeULL, 0xd4f263f1acdb5c4fULL,
+                                    0x59e26bcea0d48bacULL, 0ULL};
+// short basis v1 = (A1, -B1N), v2 = (A2, B2); det = r.
+static const u64 GLV_A1 = 0x89d3256894d213e3ULL;
+static const u64 GLV_B1N[2] = {0x8211bbeb7d4f1128ULL, 0x6f4d8248eeb859fcULL};
+static const u64 GLV_A2[2] = {0x0be4e1541221250bULL, 0x6f4d8248eeb859fdULL};
+static const u64 GLV_B2 = 0x89d3256894d213e3ULL;
+// n1 = floor(2^256 * B2 / r), n2 = floor(2^256 * B1N / r).
+static const u64 GLV_N1[2] = {0xd91d232ec7e0b3d7ULL, 0x2ULL};
+static const u64 GLV_N2[3] = {0x7a7bd9d4391eb18dULL, 0x4ccef014a773d2cfULL,
+                              0x2ULL};
+
+struct GlvHalf {
+    u64 k[2];   // |half-scalar| < 2^127
+    bool neg;
+    bool zero;
+};
+
+// (k1, k2) with k = k1 + lambda*k2 (mod r); k must be canonical (< r).
+static void glv_decompose(const u64 k[4], GlvHalf &h1, GlvHalf &h2) {
+    // c1 = (k * n1) >> 256 — fits one limb.
+    u64 prod[7] = {0, 0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        u128 carry = 0;
+        for (int j = 0; j < 2; j++) {
+            u128 s = (u128)prod[i + j] + (u128)k[i] * GLV_N1[j] + (u64)carry;
+            prod[i + j] = (u64)s;
+            carry = s >> 64;
+        }
+        prod[i + 2] += (u64)carry;
+    }
+    u64 c1 = prod[4];
+    // c2 = (k * n2) >> 256 — fits two limbs.
+    memset(prod, 0, sizeof(prod));
+    for (int i = 0; i < 4; i++) {
+        u128 carry = 0;
+        for (int j = 0; j < 3; j++) {
+            u128 s = (u128)prod[i + j] + (u128)k[i] * GLV_N2[j] + (u64)carry;
+            prod[i + j] = (u64)s;
+            carry = s >> 64;
+        }
+        prod[i + 3] += (u64)carry;
+    }
+    u64 c2[2] = {prod[4], prod[5]};
+
+    // q = c1*A1 + c2*A2  (4 limbs; actual magnitude < 2^255)
+    u64 q[4] = {0, 0, 0, 0};
+    {
+        u128 s = (u128)c1 * GLV_A1;
+        q[0] = (u64)s;
+        q[1] = (u64)(s >> 64);
+        u128 carry = 0;
+        u64 t[4] = {0, 0, 0, 0};
+        for (int i = 0; i < 2; i++) {
+            carry = 0;
+            for (int j = 0; j < 2; j++) {
+                u128 s2 = (u128)t[i + j] + (u128)c2[i] * GLV_A2[j] + (u64)carry;
+                t[i + j] = (u64)s2;
+                carry = s2 >> 64;
+            }
+            t[i + 2] += (u64)carry;
+        }
+        carry = 0;
+        for (int i = 0; i < 4; i++) {
+            u128 s2 = (u128)q[i] + t[i] + (u64)carry;
+            q[i] = (u64)s2;
+            carry = s2 >> 64;
+        }
+    }
+    // k1 = k - q (signed; |k1| < 2^127)
+    if (geq(k, q)) {
+        u64 d[4];
+        sub_raw(d, k, q);
+        h1.k[0] = d[0];
+        h1.k[1] = d[1];
+        h1.neg = false;
+    } else {
+        u64 d[4];
+        sub_raw(d, q, k);
+        h1.k[0] = d[0];
+        h1.k[1] = d[1];
+        h1.neg = true;
+    }
+    h1.zero = (h1.k[0] | h1.k[1]) == 0;
+
+    // k2 = c1*B1N - c2*B2 (signed; |k2| < 2^127)
+    u64 t1[3] = {0, 0, 0}, t2[3] = {0, 0, 0};
+    {
+        u128 carry = 0;
+        for (int j = 0; j < 2; j++) {
+            u128 s = (u128)t1[j] + (u128)c1 * GLV_B1N[j] + (u64)carry;
+            t1[j] = (u64)s;
+            carry = s >> 64;
+        }
+        t1[2] = (u64)carry;
+        u128 s0 = (u128)c2[0] * GLV_B2;
+        t2[0] = (u64)s0;
+        u128 s1 = (u128)c2[1] * GLV_B2 + (u64)(s0 >> 64);
+        t2[1] = (u64)s1;
+        t2[2] = (u64)(s1 >> 64);
+    }
+    bool t1_ge = true;
+    for (int i = 2; i >= 0; i--) {
+        if (t1[i] != t2[i]) {
+            t1_ge = t1[i] > t2[i];
+            break;
+        }
+    }
+    u64 d[3];
+    {
+        const u64 *a = t1_ge ? t1 : t2;
+        const u64 *b = t1_ge ? t2 : t1;
+        u128 borrow = 0;
+        for (int i = 0; i < 3; i++) {
+            u128 s = (u128)a[i] - b[i] - (u64)borrow;
+            d[i] = (u64)s;
+            borrow = (s >> 64) ? 1 : 0;
+        }
+    }
+    h2.k[0] = d[0];
+    h2.k[1] = d[1];
+    h2.neg = !t1_ge;
+    h2.zero = (h2.k[0] | h2.k[1]) == 0;
+}
+
+static const u64 *glv_beta_mont() {
+    // Callers invoke this before entering the OpenMP region, so the lazy
+    // init below is single-threaded.
+    static u64 beta_mont[4];
+    static bool ready = false;
+    if (!ready) {
+        to_mont(beta_mont, GLV_BETA_STD, FQ);
+        ready = true;
+    }
+    return beta_mont;
+}
+
+// GLV + signed-digit Pippenger.  scs = 4 limbs per scalar, canonical.
+static G1J pippenger_affine_glv(const std::vector<AffinePt> &pts,
+                                const std::vector<u64> &scs, size_t m) {
+    const u64 *beta = glv_beta_mont();
+    // Decompose and build the doubled entry list.
+    struct Entry {
+        AffinePt p;
+        u64 k[2];
+    };
+    std::vector<Entry> entries;
+    entries.reserve(2 * m);
+    for (size_t i = 0; i < m; i++) {
+        GlvHalf h1, h2;
+        glv_decompose(&scs[4 * i], h1, h2);
+        if (!h1.zero) {
+            Entry e;
+            e.p = pts[i];
+            if (h1.neg) neg_mod(e.p.y, e.p.y, FQ);
+            e.k[0] = h1.k[0];
+            e.k[1] = h1.k[1];
+            entries.push_back(e);
+        }
+        if (!h2.zero) {
+            Entry e;
+            e.p.inf = pts[i].inf;
+            mmul(e.p.x, pts[i].x, beta, FQ);  // phi: x *= beta
+            memcpy(e.p.y, pts[i].y, 32);
+            if (h2.neg) neg_mod(e.p.y, e.p.y, FQ);
+            e.k[0] = h2.k[0];
+            e.k[1] = h2.k[1];
+            entries.push_back(e);
+        }
+    }
+    size_t n = entries.size();
+    if (n == 0) return g1_zero();
+
+    // Pick c minimizing ceil(129/c) * (n + 2^(c-1)) exactly.
+    int c = 2;
+    double best = 1e300;
+    for (int cand = 2; cand <= 18; cand++) {
+        double cost = (double)((129 + cand - 1) / cand) *
+                      ((double)n + (double)(1ULL << (cand - 1)));
+        if (cost < best) {
+            best = cost;
+            c = cand;
+        }
+    }
+    int windows = (129 + c - 1) / c;  // |k| < 2^127 + recode carry headroom
+    u64 mask = (1ULL << c) - 1;
+    u64 half = 1ULL << (c - 1);
+    std::vector<G1J> window_sums(windows);
+    // Per-entry signed digits, recoded once (shared across the parallel
+    // window loop; digit w of entry i at digits[i*windows + w]).
+    std::vector<int32_t> digits((size_t)n * windows);
+    for (size_t i = 0; i < n; i++) {
+        u64 carry = 0;
+        const u64 *k = entries[i].k;
+        for (int w = 0; w < windows; w++) {
+            int shift = w * c;
+            int limb = shift / 64;
+            int off = shift % 64;
+            u64 d = (limb < 2) ? (k[limb] >> off) : 0;
+            if (off + c > 64 && limb + 1 < 2) d |= k[limb + 1] << (64 - off);
+            d = (d & mask) + carry;
+            if (d > half) {
+                digits[i * windows + w] = (int32_t)d - (int32_t)(1ULL << c);
+                carry = 1;
+            } else {
+                digits[i * windows + w] = (int32_t)d;
+                carry = 0;
+            }
+        }
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int w = 0; w < windows; w++) {
+        std::vector<G1J> buckets(half + 1, g1_zero());
+        for (size_t i = 0; i < n; i++) {
+            int32_t d = digits[i * windows + w];
+            if (d == 0) continue;
+            if (d > 0) {
+                buckets[d] = g1_add_mixed(buckets[d], entries[i].p);
+            } else {
+                AffinePt neg = entries[i].p;
+                neg_mod(neg.y, neg.y, FQ);
+                buckets[-d] = g1_add_mixed(buckets[-d], neg);
+            }
+        }
+        G1J running = g1_zero(), acc = g1_zero();
+        for (size_t d = half; d >= 1; d--) {
+            running = g1_add(running, buckets[d]);
+            acc = g1_add(acc, running);
+        }
+        window_sums[w] = acc;
+    }
+    G1J result = g1_zero();
+    for (int w = windows - 1; w >= 0; w--) {
+        if (!g1_is_zero(result))
+            for (int i = 0; i < c; i++) result = g1_dbl(result);
+        result = g1_add(result, window_sums[w]);
+    }
+    return result;
+}
+
 // Shared Pippenger core over affine points.
 static G1J pippenger_affine(const std::vector<AffinePt> &pts,
                             const std::vector<u64> &scs, size_t m) {
     if (m == 0) return g1_zero();
+    if (m >= 32) return pippenger_affine_glv(pts, scs, m);
     int c = 1;
     while ((size_t(1) << c) < m && c < 16) c++;
     if (c < 2 && m > 2) c = 2;
@@ -1461,6 +1786,30 @@ static G1J pippenger_affine(const std::vector<AffinePt> &pts,
         result = g1_add(result, window_sums[w]);
     }
     return result;
+}
+
+// Parse (point, scalar) byte pairs into the affine Pippenger core.
+static G1J pippenger_affine_entry(const uint8_t *points,
+                                  const uint8_t *scalars, size_t n) {
+    std::vector<AffinePt> pts;
+    std::vector<u64> scs;
+    pts.reserve(n);
+    for (size_t i = 0; i < n; i++) {
+        u64 k[4];
+        bytes_to_limbs(k, scalars + 32 * i);
+        if (is_zero4(k)) continue;
+        u64 x[4], y[4];
+        bytes_to_limbs(x, points + 64 * i);
+        bytes_to_limbs(y, points + 64 * i + 32);
+        if (is_zero4(x) && is_zero4(y)) continue;
+        AffinePt p;
+        p.inf = false;
+        to_mont(p.x, x, FQ);
+        to_mont(p.y, y, FQ);
+        pts.push_back(p);
+        scs.insert(scs.end(), k, k + 4);
+    }
+    return pippenger_affine(pts, scs, pts.size());
 }
 
 extern "C" {

@@ -59,6 +59,13 @@ def msm(points: Sequence[G1], scalars: Sequence[Fr]) -> G1:
         from .. import _native
 
         return _native.srs_msm(points.srs_id, scalars)
+    if isinstance(scalars, (bytes, bytearray)):
+        from ..field.fr import Fr as _Fr
+
+        scalars = [
+            _Fr(int.from_bytes(scalars[32 * i:32 * i + 32], "little"))
+            for i in range(len(scalars) // 32)
+        ]
     n = min(len(points), len(scalars))
     if n >= 4 and not os.environ.get("TNSH_NO_NATIVE"):
         from .. import _native
@@ -142,6 +149,31 @@ def lagrange_srs(params: CommitmentParams, n: int) -> List[G1]:
         return cache[n]
     if params.tau is None:
         raise CommitmentError("Lagrange SRS requires tau in params")
+    g = G1.generator()
+    if not os.environ.get("TNSH_NO_NATIVE"):
+        from .. import _native
+        from ..core.params import LARGE_SRS_THRESHOLD, NativeSRS
+
+        if _native.available:
+            # L_i(tau) scalars computed natively (bytes stay native-side
+            # through the fixed-base build — no per-element Fr objects).
+            scalar_bytes = _native.fr_lagrange_tau(params.tau, n)
+            if n >= LARGE_SRS_THRESHOLD:
+                points = NativeSRS(
+                    _native.srs_create_fixed_base(g, scalar_bytes)
+                )
+            else:
+                points = _native.fixed_base_batch(
+                    g,
+                    [
+                        Fr(int.from_bytes(scalar_bytes[32 * i:32 * i + 32],
+                                          "little"))
+                        for i in range(n)
+                    ],
+                )
+            cache[n] = points
+            return points
+
     from ..field.fr import MODULUS, batch_inverse
 
     tau = int(params.tau)
@@ -149,26 +181,10 @@ def lagrange_srs(params: CommitmentParams, n: int) -> List[G1]:
     prefix = [Fr(1)] * (n + 1)
     for i in range(n):
         prefix[i + 1] = prefix[i] * t[i]
-    suffix = [Fr(1)] * (n + 1)
-    for i in range(n - 1, -1, -1):
-        suffix[i] = suffix[i + 1] * t[i]
     denoms = _range_factorial_denoms(n)
     inv_dt = batch_inverse([denoms[i] * t[i] for i in range(n)])
     full = prefix[n]  # Π (tau - j)
     scalars = [full * inv_dt[i] for i in range(n)]
-
-    g = G1.generator()
-    if not os.environ.get("TNSH_NO_NATIVE"):
-        from .. import _native
-        from ..core.params import LARGE_SRS_THRESHOLD, NativeSRS
-
-        if _native.available:
-            if n >= LARGE_SRS_THRESHOLD:
-                points = NativeSRS(_native.srs_create_fixed_base(g, scalars))
-            else:
-                points = _native.fixed_base_batch(g, scalars)
-            cache[n] = points
-            return points
     points = [g.scalar_mul(s) for s in scalars]
     cache[n] = points
     return points
@@ -401,6 +417,17 @@ class KZGCommitment(CommitmentScheme):
         if n < 2 or zi < n or params.tau is None:
             poly = interpolate_on_range([Fr(v) for v in values])
             return KZGCommitment.open(params, poly, point)
+        if not os.environ.get("TNSH_NO_NATIVE"):
+            from .. import _native
+
+            if _native.available:
+                # Barycentric value + quotient vector in one native pass;
+                # the quotient bytes feed the MSM without Fr round-trips.
+                value, q_bytes = _native.fr_open_evals(
+                    [Fr(v) for v in values], point
+                )
+                proof_pt = msm(lagrange_srs(params, n), q_bytes)
+                return value, KZGProof(proof_pt)
         diffs = [Fr((i - zi) % MODULUS) for i in range(n)]
         inv_diffs = batch_inverse(diffs)
         value = barycentric_eval(values, point)
