@@ -28,7 +28,8 @@ available = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O2", "-fopenmp", "-shared", "-fPIC", "-o", _LIB, _SRC],
+            ["g++", "-O3", "-march=native", "-funroll-loops", "-fopenmp",
+             "-shared", "-fPIC", "-o", _LIB, _SRC],
             check=True,
             capture_output=True,
             timeout=300,

@@ -15,6 +15,7 @@
 // tests/test_native.py).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -1677,16 +1678,22 @@ static G1J pippenger_affine_glv(const std::vector<AffinePt> &pts,
     size_t n = entries.size();
     if (n == 0) return g1_zero();
 
-    // Pick c minimizing ceil(129/c) * (n + 2^(c-1)) exactly.
+    // Pick c minimizing ceil(129/c) * (n + 2^(c-1)) exactly.  Cap at 16:
+    // 2^15 affine buckets = 2.3 MB stays cache-resident; c = 17 measured
+    // ~1.5x slower from bucket-array misses despite fewer window passes.
     int c = 2;
     double best = 1e300;
-    for (int cand = 2; cand <= 18; cand++) {
+    for (int cand = 2; cand <= 16; cand++) {
         double cost = (double)((129 + cand - 1) / cand) *
                       ((double)n + (double)(1ULL << (cand - 1)));
         if (cost < best) {
             best = cost;
             c = cand;
         }
+    }
+    if (const char *e = getenv("TNSH_MSM_C")) {
+        int v = atoi(e);
+        if (v >= 2 && v <= 18) c = v;
     }
     int windows = (129 + c - 1) / c;  // |k| < 2^127 + recode carry headroom
     u64 mask = (1ULL << c) - 1;
@@ -1718,21 +1725,211 @@ static G1J pippenger_affine_glv(const std::vector<AffinePt> &pts,
 #pragma omp parallel for schedule(dynamic)
 #endif
     for (int w = 0; w < windows; w++) {
-        std::vector<G1J> buckets(half + 1, g1_zero());
-        for (size_t i = 0; i < n; i++) {
-            int32_t d = digits[i * windows + w];
-            if (d == 0) continue;
-            if (d > 0) {
-                buckets[d] = g1_add_mixed(buckets[d], entries[i].p);
-            } else {
-                AffinePt neg = entries[i].p;
-                neg_mod(neg.y, neg.y, FQ);
-                buckets[-d] = g1_add_mixed(buckets[-d], neg);
+        // Chunked sorted-schedule batch-affine bucket accumulation.
+        //
+        // Items are processed in cache-sized CHUNKS.  Each chunk is
+        // counting-sorted by bucket and its per-bucket runs pairwise
+        // tree-reduced (all pair-adds in a wave are independent), then the
+        // per-bucket survivors merge into the global bucket array — at
+        // most one add per bucket per chunk, so the merge is conflict-free
+        // too.  Every point addition in the window is therefore a batched
+        // AFFINE add (~6 muls amortized vs ~14 for mixed Jacobian), the
+        // chunk scratch (~600 KB) and bucket array (<= 2.3 MB) both stay
+        // cache-resident, and skewed digit distributions (small scalars
+        // concentrating in a few buckets) reduce inside chunks in linear
+        // time instead of serializing on hot buckets.
+        std::vector<AffinePt> buckets(half + 1);
+        for (auto &b : buckets) b.inf = true;
+        // 4096 x 72 B scratch = 288 KB: L2-resident; measured best across
+        // uniform-full and small-scalar workloads (TNSH_MSM_CHUNK overrides
+        // for tuning).
+        size_t CHUNK = 4096;
+        if (const char *e = getenv("TNSH_MSM_CHUNK")) {
+            int v = atoi(e);
+            if (v >= 256 && v <= (1 << 20)) CHUNK = (size_t)v;
+        }
+        std::vector<AffinePt> sc(CHUNK);
+        std::vector<uint32_t> bucket_of(CHUNK), order(CHUNK);
+        std::vector<uint32_t> cnt(half + 2, 0);
+        std::vector<uint32_t> touched;
+        touched.reserve(CHUNK);
+
+        const size_t BATCH = 256;
+        struct Pair {
+            AffinePt *a;        // left operand / result slot
+            const AffinePt *b;  // right operand
+            uint8_t kind;       // 0 add, 1 double, 2 -> infinity, 3 copy b
+        };
+        Pair batch[256];
+        u64 denom[256][4], pre[256][4], dinv[256][4];
+        size_t bn = 0;
+        auto flush = [&]() {
+            if (bn == 0) return;
+            // 4 interleaved inversion chains: the prefix-product
+            // recurrence is a strict dependency chain, so one chain is
+            // mmul-latency-bound; four keep the multiplier pipeline full.
+            u64 chain[4][4];
+            for (int l = 0; l < 4; l++) memcpy(chain[l], FQ.one, 32);
+            for (size_t j = 0; j < bn; j++) {
+                int l = j & 3;
+                memcpy(pre[j], chain[l], 32);
+                mmul(chain[l], chain[l], denom[j], FQ);
             }
+            u64 t01[4], t23[4], T[4], invT[4], i01[4], i23[4], cinv[4][4];
+            mmul(t01, chain[0], chain[1], FQ);
+            mmul(t23, chain[2], chain[3], FQ);
+            mmul(T, t01, t23, FQ);
+            minv(invT, T, FQ);
+            mmul(i01, invT, t23, FQ);
+            mmul(i23, invT, t01, FQ);
+            mmul(cinv[0], i01, chain[1], FQ);
+            mmul(cinv[1], i01, chain[0], FQ);
+            mmul(cinv[2], i23, chain[3], FQ);
+            mmul(cinv[3], i23, chain[2], FQ);
+            for (size_t j = bn; j-- > 0;) {
+                int l = j & 3;
+                mmul(dinv[j], cinv[l], pre[j], FQ);
+                mmul(cinv[l], cinv[l], denom[j], FQ);
+            }
+            for (size_t j = 0; j < bn; j++) {
+                AffinePt &A = *batch[j].a;
+                const AffinePt &B2 = *batch[j].b;
+                if (batch[j].kind == 2) {
+                    A.inf = true;
+                    continue;
+                }
+                if (batch[j].kind == 3) {
+                    A = B2;
+                    continue;
+                }
+                u64 lam[4];
+                if (batch[j].kind == 1) {
+                    u64 x2[4], t[4];
+                    msq(x2, A.x, FQ);
+                    add_mod(t, x2, x2, FQ);
+                    add_mod(t, t, x2, FQ);
+                    mmul(lam, t, dinv[j], FQ);
+                } else {
+                    u64 t[4];
+                    sub_mod(t, B2.y, A.y, FQ);
+                    mmul(lam, t, dinv[j], FQ);
+                }
+                u64 x3[4], y3[4], t[4];
+                msq(x3, lam, FQ);
+                sub_mod(x3, x3, A.x, FQ);
+                sub_mod(x3, x3, batch[j].kind == 1 ? A.x : B2.x, FQ);
+                sub_mod(t, A.x, x3, FQ);
+                mmul(y3, lam, t, FQ);
+                sub_mod(y3, y3, A.y, FQ);
+                memcpy(A.x, x3, 32);
+                memcpy(A.y, y3, 32);
+            }
+            bn = 0;
+        };
+        // Classify a pair (A += B2) and queue it for the batched flush.
+        auto queue_add = [&](AffinePt *A, const AffinePt *B2) {
+            uint8_t kind;
+            u64 *dn = denom[bn];
+            if (A->inf) {
+                kind = 3;
+                memcpy(dn, FQ.one, 32);
+            } else if (B2->inf) {
+                return;
+            } else if (memcmp(A->x, B2->x, 32) == 0) {
+                if (memcmp(A->y, B2->y, 32) == 0) {
+                    kind = 1;
+                    add_mod(dn, A->y, A->y, FQ);
+                    if (is_zero4(dn)) {
+                        kind = 2;
+                        memcpy(dn, FQ.one, 32);
+                    }
+                } else {
+                    kind = 2;  // B2 = -A
+                    memcpy(dn, FQ.one, 32);
+                }
+            } else {
+                kind = 0;
+                sub_mod(dn, B2->x, A->x, FQ);
+            }
+            batch[bn].a = A;
+            batch[bn].b = B2;
+            batch[bn].kind = kind;
+            if (++bn == BATCH) flush();
+        };
+
+        for (size_t base = 0; base < n; base += CHUNK) {
+            size_t lim = base + CHUNK < n ? base + CHUNK : n;
+            // Gather this chunk's nonzero-digit items.
+            size_t m_ch = 0;
+            for (size_t i = base; i < lim; i++) {
+                int32_t d = digits[i * windows + w];
+                if (!d) continue;
+                uint32_t b = d > 0 ? d : -d;
+                AffinePt p = entries[i].p;
+                if (d < 0) neg_mod(p.y, p.y, FQ);
+                if (!cnt[b]) touched.push_back(b);
+                cnt[b]++;
+                bucket_of[m_ch] = b;
+                sc[m_ch] = p;
+                m_ch++;
+            }
+            if (m_ch == 0) continue;
+            if (touched.size() == m_ch) {
+                // All buckets distinct: merge directly, skip the sort.
+                for (size_t j = 0; j < m_ch; j++) {
+                    AffinePt &B = buckets[bucket_of[j]];
+                    if (B.inf) B = sc[j];
+                    else queue_add(&B, &sc[j]);
+                }
+                flush();
+                for (uint32_t b : touched) cnt[b] = 0;
+                touched.clear();
+                continue;
+            }
+            // Counting-sort chunk items by bucket (stable enough — order
+            // within a bucket is irrelevant for a sum).
+            uint32_t off = 0;
+            for (uint32_t b : touched) {
+                uint32_t c2 = cnt[b];
+                cnt[b] = off;  // reuse cnt as the fill cursor
+                off += c2;
+            }
+            for (size_t j = 0; j < m_ch; j++) order[cnt[bucket_of[j]]++] = j;
+            // Tree-reduce each run via the order array: wave k pairs
+            // order[s+i] with order[s+i+step] for i stepping 2*step.
+            // Runs are delimited by bucket_of changes.
+            for (uint32_t step = 1; step < m_ch; step <<= 1) {
+                size_t s = 0;
+                while (s < m_ch) {
+                    uint32_t b = bucket_of[order[s]];
+                    size_t e = s + 1;
+                    while (e < m_ch && bucket_of[order[e]] == b) e++;
+                    for (size_t i = s; i + step < e; i += 2 * step)
+                        queue_add(&sc[order[i]], &sc[order[i + step]]);
+                    s = e;
+                }
+                flush();
+            }
+            // Merge each run's survivor (its first slot) into the bucket.
+            {
+                size_t s = 0;
+                while (s < m_ch) {
+                    uint32_t b = bucket_of[order[s]];
+                    size_t e = s + 1;
+                    while (e < m_ch && bucket_of[order[e]] == b) e++;
+                    AffinePt &B = buckets[b];
+                    if (B.inf) B = sc[order[s]];
+                    else queue_add(&B, &sc[order[s]]);
+                    s = e;
+                }
+                flush();
+            }
+            for (uint32_t b : touched) cnt[b] = 0;
+            touched.clear();
         }
         G1J running = g1_zero(), acc = g1_zero();
-        for (size_t d = half; d >= 1; d--) {
-            running = g1_add(running, buckets[d]);
+        for (size_t b = half; b >= 1; b--) {
+            running = g1_add_mixed(running, buckets[b]);
             acc = g1_add(acc, running);
         }
         window_sums[w] = acc;

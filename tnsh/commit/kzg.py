@@ -423,9 +423,7 @@ class KZGCommitment(CommitmentScheme):
             if _native.available:
                 # Barycentric value + quotient vector in one native pass;
                 # the quotient bytes feed the MSM without Fr round-trips.
-                value, q_bytes = _native.fr_open_evals(
-                    [Fr(v) for v in values], point
-                )
+                value, q_bytes = _native.fr_open_evals(values, point)
                 proof_pt = msm(lagrange_srs(params, n), q_bytes)
                 return value, KZGProof(proof_pt)
         diffs = [Fr((i - zi) % MODULUS) for i in range(n)]
