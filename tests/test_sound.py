@@ -385,3 +385,21 @@ class TestTwistSound:
         tr.read(0)
         proof = TwistSound.prove(tr, pp)
         assert TwistSound.verify(proof, vp)
+
+    def test_moderate_scale(self):
+        """K=16, T=256 (n=12): exercises the native sum-of-products oracle
+        and native PST opens end-to-end (sizes above NATIVE_THRESHOLD)."""
+        pp, vp = setup_params(6)
+        tr = MemoryTrace(16)
+        for i in range(256):
+            if i % 3 == 0:
+                tr.write(i % 16, Fr(i * 42))
+            else:
+                tr.read((i // 2) % 16)
+        proof = TwistSound.prove(tr, pp)
+        assert TwistSound.verify(proof, vp)
+        bad = copy.deepcopy(proof)
+        bad.openings[0] = MLOpening(
+            bad.openings[0].value + Fr(1), bad.openings[0].proof
+        )
+        assert not TwistSound.verify(bad, vp)

@@ -61,6 +61,11 @@ def _load() -> None:
         ("fr_horner", [c_u8p, ctypes.c_size_t, c_u8p, c_u8p], None),
         ("fr_quotient", [c_u8p, ctypes.c_size_t, c_u8p, c_u8p], None),
         ("fr_lagrange_tau", [c_u8p, ctypes.c_size_t, c_u8p], None),
+        (
+            "fr_ml_open",
+            [c_u8p, ctypes.c_size_t, c_u8p, ctypes.c_size_t, c_u8p, c_u8p],
+            None,
+        ),
         ("fr_open_evals", [c_u8p, ctypes.c_size_t, c_u8p, c_u8p, c_u8p], None),
         ("g1_scalar_mul_c", [c_u8p, c_u8p, c_u8p], None),
         ("g1_add_c", [c_u8p, c_u8p, c_u8p], None),
@@ -81,6 +86,16 @@ def _load() -> None:
         ("srs_get_point", [ctypes.c_int, ctypes.c_size_t, c_u8p], None),
         ("srs_msm", [ctypes.c_int, c_u8p, ctypes.c_size_t, c_u8p], None),
         ("srs_free", [ctypes.c_int], None),
+        (
+            "sop_create",
+            [c_u8p, ctypes.c_size_t, ctypes.c_size_t,
+             ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t, c_u8p],
+            ctypes.c_int,
+        ),
+        ("sop_round_evals", [ctypes.c_int, c_u8p], None),
+        ("sop_bind", [ctypes.c_int, c_u8p], None),
+        ("sop_final", [ctypes.c_int, c_u8p], None),
+        ("sop_free", [ctypes.c_int], None),
     ]:
         fn = getattr(lib, name)
         fn.argtypes = argtypes
@@ -249,6 +264,28 @@ def fr_lagrange_tau(tau, n: int) -> bytes:
     return raw.raw
 
 
+def fr_ml_open(values, point):
+    """(value, [quotient_bytes per variable]) of a multilinear opening.
+
+    ``values``: 2^n Fr/ints or raw bytes; ``point``: n field elements.
+    Level i's quotient table has 2^(n-1-i) elements."""
+    from ..field.fr import Fr
+
+    vals, size = _scalar_bytes(values)
+    n_vars = size.bit_length() - 1
+    pt = b"".join(int(p).to_bytes(32, "little") for p in point)
+    raw_q, out_q = _out(32 * max(size - 1, 1))
+    raw_v, out_v = _out(32)
+    _lib.fr_ml_open(_buf(vals), size, _buf(pt), n_vars, out_q, out_v)
+    levels = []
+    off = 0
+    for v in range(n_vars):
+        half = size >> (v + 1)
+        levels.append(raw_q.raw[32 * off:32 * (off + half)])
+        off += half
+    return Fr(int.from_bytes(raw_v.raw, "little")), levels
+
+
 def fr_open_evals(values, z):
     """(value, quotient_bytes) of the {0..n-1}-interpolant opening at z.
 
@@ -300,3 +337,54 @@ def srs_msm(srs_id: int, scalars):
 
 def srs_free(srs_id: int) -> None:
     _lib.srs_free(srs_id)
+
+
+# -- native sum-of-products sum-check oracle ---------------------------------
+
+def sop_create(tables, terms) -> int:
+    """Create a native oracle handle.
+
+    ``tables``: list of equal-length int/Fr lists; ``terms``: list of
+    ``(coeff, [table_index, ...])``.  Returns a handle id."""
+    size = len(tables[0])
+    blob = b"".join(
+        int(v).to_bytes(32, "little") for t in tables for v in t
+    )
+    spec = []
+    coeffs = b""
+    for coeff, idxs in terms:
+        spec.append(len(idxs))
+        spec.extend(idxs)
+        coeffs += int(coeff).to_bytes(32, "little")
+    spec_arr = (ctypes.c_int32 * len(spec))(*spec)
+    return int(
+        _lib.sop_create(_buf(blob), len(tables), size, spec_arr,
+                        len(terms), _buf(coeffs))
+    )
+
+
+def sop_round_evals(sop_id: int):
+    from ..field.fr import Fr
+
+    raw, out = _out(4 * 32)
+    _lib.sop_round_evals(sop_id, out)
+    return [
+        Fr(int.from_bytes(raw.raw[32 * i:32 * i + 32], "little"))
+        for i in range(4)
+    ]
+
+
+def sop_bind(sop_id: int, r) -> None:
+    _lib.sop_bind(sop_id, _buf(int(r).to_bytes(32, "little")))
+
+
+def sop_final(sop_id: int):
+    from ..field.fr import Fr
+
+    raw, out = _out(32)
+    _lib.sop_final(sop_id, out)
+    return Fr(int.from_bytes(raw.raw, "little"))
+
+
+def sop_free(sop_id: int) -> None:
+    _lib.sop_free(sop_id)

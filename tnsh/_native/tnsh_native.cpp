@@ -1266,7 +1266,210 @@ void fr_open_evals(const uint8_t *vals, size_t n, const uint8_t *z_b,
     }
 }
 
+// PST multilinear-KZG opening tables: folds the evaluation table along
+// the point coordinates, emitting each level's quotient table
+// q_i = hi - lo (the PST witness polynomials) in standard form, plus the
+// final evaluation.  out_q holds size/2 + size/4 + ... + 1 = size - 1
+// elements; backs tnsh.commit.mkzg.MultilinearKZG.open.
+void fr_ml_open(const uint8_t *evals, size_t size, const uint8_t *point,
+                size_t n_vars, uint8_t *out_q, uint8_t *out_value) {
+    std::vector<u64> cur(4 * size);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (size_t i = 0; i < size; i++) {
+        u64 raw[4];
+        bytes_to_limbs(raw, evals + 32 * i);
+        to_mont(&cur[4 * i], raw, FR);
+    }
+    size_t off = 0;
+    for (size_t v = 0; v < n_vars; v++) {
+        size_t half = size >> (v + 1);
+        u64 raw[4], r[4];
+        bytes_to_limbs(raw, point + 32 * v);
+        to_mont(r, raw, FR);
+        std::vector<u64> nxt(4 * half);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (size_t i = 0; i < half; i++) {
+            u64 d[4], m[4], s[4];
+            sub_mod(d, &cur[8 * i + 4], &cur[8 * i], FR);
+            from_mont(s, d, FR);
+            limbs_to_bytes(out_q + 32 * (off + i), s);
+            mmul(m, r, d, FR);
+            add_mod(&nxt[4 * i], &cur[8 * i], m, FR);
+        }
+        off += half;
+        cur.swap(nxt);
+    }
+    u64 s[4];
+    from_mont(s, &cur[0], FR);
+    limbs_to_bytes(out_value, s);
+}
+
+// ---- sum-of-products sum-check oracle (native-resident tables) ----
+//
+// Backs tnsh.iop.sumcheck.SumOfProductsOracle for large instances: the
+// verifier-enforced sound-mode constraints (tnsh/protocols/sound.py) are
+// sums of degree-<=3 products of dense MLE tables; per round the prover
+// needs [g(0..3)] = sum over lane pairs of coeff * prod_f (lo + x (hi-lo))
+// and then a fold.  Tables live in native memory in Montgomery form; the
+// Python side only sees 4 field elements per round.
+
+struct SopTerm {
+    u64 coeff[4];  // Montgomery
+    std::vector<int> factors;
+};
+
+struct SopState {
+    size_t size;                       // current table length
+    std::vector<std::vector<u64>> tables;  // each 4*size limbs, Montgomery
+    std::vector<SopTerm> terms;
+};
+
+static std::vector<SopState *> g_sop_store;
+
+extern "C" {
+
+// tables: num_tables * size * 32 B standard-form Fr; spec encodes terms as
+// a flat int32 stream: [num_factors, f0, f1, ...] per term; coeffs:
+// num_terms * 32 B.
+int sop_create(const uint8_t *tables, size_t num_tables, size_t size,
+               const int32_t *spec, size_t num_terms,
+               const uint8_t *coeffs) {
+    SopState *st = new SopState();
+    st->size = size;
+    st->tables.resize(num_tables);
+    for (size_t t = 0; t < num_tables; t++) {
+        st->tables[t].resize(4 * size);
+        const uint8_t *src = tables + t * size * 32;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (size_t i = 0; i < size; i++) {
+            u64 raw[4];
+            bytes_to_limbs(raw, src + 32 * i);
+            to_mont(&st->tables[t][4 * i], raw, FR);
+        }
+    }
+    size_t off = 0;
+    for (size_t t = 0; t < num_terms; t++) {
+        SopTerm term;
+        u64 raw[4];
+        bytes_to_limbs(raw, coeffs + 32 * t);
+        to_mont(term.coeff, raw, FR);
+        int nf = spec[off++];
+        for (int f = 0; f < nf; f++) term.factors.push_back(spec[off++]);
+        st->terms.push_back(term);
+    }
+    g_sop_store.push_back(st);
+    return (int)g_sop_store.size() - 1;
+}
+
+// out: 4 * 32 B — g(0), g(1), g(2), g(3) in standard form.
+void sop_round_evals(int id, uint8_t *out) {
+    SopState *st = g_sop_store[id];
+    size_t half = st->size / 2;
+    size_t nt = st->tables.size();
+    u64 sums[4][4] = {{0}};
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+        u64 local[4][4] = {{0}};
+        std::vector<u64> vals(nt * 16);  // per table: 4 X-points x 4 limbs
+#ifdef _OPENMP
+#pragma omp for schedule(static) nowait
+#endif
+        for (size_t s = 0; s < half; s++) {
+            for (size_t t = 0; t < nt; t++) {
+                const u64 *lo = &st->tables[t][8 * s];
+                const u64 *hi = lo + 4;
+                u64 *v = &vals[16 * t];
+                memcpy(&v[0], lo, 32);
+                memcpy(&v[4], hi, 32);
+                u64 d[4];
+                sub_mod(d, hi, lo, FR);
+                add_mod(&v[8], hi, d, FR);
+                add_mod(&v[12], &v[8], d, FR);
+            }
+            for (int x = 0; x < 4; x++) {
+                u64 acc[4] = {0, 0, 0, 0};
+                for (const SopTerm &term : st->terms) {
+                    u64 prod[4];
+                    memcpy(prod, term.coeff, 32);
+                    for (int f : term.factors)
+                        mmul(prod, prod, &vals[16 * f + 4 * x], FR);
+                    add_mod(acc, acc, prod, FR);
+                }
+                add_mod(local[x], local[x], acc, FR);
+            }
+        }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        for (int x = 0; x < 4; x++) add_mod(sums[x], sums[x], local[x], FR);
+    }
+    for (int x = 0; x < 4; x++) {
+        u64 s[4];
+        from_mont(s, sums[x], FR);
+        limbs_to_bytes(out + 32 * x, s);
+    }
+}
+
+void sop_bind(int id, const uint8_t *r_bytes) {
+    SopState *st = g_sop_store[id];
+    u64 raw[4], r[4];
+    bytes_to_limbs(raw, r_bytes);
+    to_mont(r, raw, FR);
+    size_t half = st->size / 2;
+    for (auto &tab : st->tables) {
+        // Fold into a fresh buffer: the in-place variant races under
+        // OpenMP (iteration i writes limbs other threads still read).
+        std::vector<u64> out(4 * half);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+        for (size_t i = 0; i < half; i++) {
+            u64 d[4], m[4];
+            sub_mod(d, &tab[8 * i + 4], &tab[8 * i], FR);
+            mmul(m, r, d, FR);
+            add_mod(&out[4 * i], &tab[8 * i], m, FR);
+        }
+        tab.swap(out);
+    }
+    st->size = half;
+}
+
+// out: num_terms' final sum = sum_t coeff_t * prod_f T_f[0]  (32 B).
+void sop_final(int id, uint8_t *out) {
+    SopState *st = g_sop_store[id];
+    u64 acc[4] = {0, 0, 0, 0};
+    for (const SopTerm &term : st->terms) {
+        u64 prod[4];
+        memcpy(prod, term.coeff, 32);
+        for (int f : term.factors) mmul(prod, prod, &st->tables[f][0], FR);
+        add_mod(acc, acc, prod, FR);
+    }
+    u64 s[4];
+    from_mont(s, acc, FR);
+    limbs_to_bytes(out, s);
+}
+
+void sop_free(int id) {
+    if (id >= 0 && id < (int)g_sop_store.size() && g_sop_store[id]) {
+        delete g_sop_store[id];
+        g_sop_store[id] = nullptr;
+    }
+}
+
+}  // extern "C"
+
 // ---- G1 ----
+
+extern "C" void g1_scalar_mul_c(const uint8_t *point, const uint8_t *scalar,
+                                uint8_t *out);
 
 void g1_scalar_mul_c(const uint8_t *point, const uint8_t *scalar,
                      uint8_t *out) {

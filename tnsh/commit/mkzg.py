@@ -119,29 +119,38 @@ def setup_multilinear_params(
     g1_gen = G1.generator()
     g2_gen = G2.generator()
 
-    all_scalars: List[Fr] = []
-    seg_sizes: List[int] = []
-    for i in range(num_vars + 1):
-        seg = _basis_scalars(taus[i:])
-        seg_sizes.append(len(seg))
-        all_scalars.extend(Fr(s) for s in seg)
-
     from .. import _native
-    from ..core.params import _fixed_base_powers
 
-    if _native.available and not os.environ.get("TNSH_NO_NATIVE"):
-        pts = _native.fixed_base_batch(g1_gen, all_scalars)
-    else:
-        pts = _fixed_base_powers(g1_gen, all_scalars)
-    basis: List[List[G1]] = []
-    off = 0
-    for size in seg_sizes:
-        basis.append(pts[off : off + size])
-        off += size
+    native = _native.available and not os.environ.get("TNSH_NO_NATIVE")
+    basis: List = []
+    if native:
+        # Each basis segment stays native-resident (NativeSRS handle):
+        # commits/quotient MSMs run against the handle with zero point
+        # marshalling, and setup never materializes Python G1 objects.
+        from ..core.params import NativeSRS
 
-    if _native.available and not os.environ.get("TNSH_NO_NATIVE"):
+        for i in range(num_vars + 1):
+            seg_bytes = b"".join(
+                s.to_bytes(32, "little") for s in _basis_scalars(taus[i:])
+            )
+            basis.append(
+                NativeSRS(_native.srs_create_fixed_base(g1_gen, seg_bytes))
+            )
         g2_taus = [_native.g2_scalar_mul(g2_gen, t) for t in taus]
     else:
+        from ..core.params import _fixed_base_powers
+
+        all_scalars: List[Fr] = []
+        seg_sizes: List[int] = []
+        for i in range(num_vars + 1):
+            seg = _basis_scalars(taus[i:])
+            seg_sizes.append(len(seg))
+            all_scalars.extend(Fr(s) for s in seg)
+        pts = _fixed_base_powers(g1_gen, all_scalars)
+        off = 0
+        for size in seg_sizes:
+            basis.append(pts[off : off + size])
+            off += size
         g2_taus = [g2_gen.scalar_mul(int(t)) for t in taus]
 
     params = MLCommitmentParams(num_vars=num_vars, basis=basis, taus=taus)
@@ -170,10 +179,24 @@ class MultilinearKZG:
         evaluations: Sequence[Fr],
         point: Sequence[Fr],
     ) -> Tuple[Fr, MLOpeningProof]:
+        import os
+
         n_vars = _infer_vars(len(evaluations))
         if len(point) != n_vars:
             raise CommitmentError("opening point has wrong arity")
         offset = params.num_vars - n_vars
+        if n_vars > 0 and not os.environ.get("TNSH_NO_NATIVE"):
+            from .. import _native
+
+            if _native.available:
+                # Quotient tables computed natively; bytes feed the MSMs
+                # without per-element Fr round-trips.
+                value, levels = _native.fr_ml_open(list(evaluations), point)
+                quotients = [
+                    msm(params.basis[offset + i + 1], levels[i])
+                    for i in range(n_vars)
+                ]
+                return value, MLOpeningProof(quotients)
         table = [int(v) % _P for v in evaluations]
         quotients: List[G1] = []
         for i in range(n_vars):

@@ -189,13 +189,20 @@ class SumOfProductsOracle(SumcheckOracle):
     products (eq * witness * witness).
     """
 
+    #: Table sizes at or above this route to the native C++ evaluator
+    #: (per-round work is O(size * factors) big-int mults in Python).
+    NATIVE_THRESHOLD = 1 << 10
+
     def __init__(self, num_vars: int, terms):
         """``terms``: sequence of ``(coeff, [table, ...])`` where each table
         is a list of ints/Fr of length ``2^num_vars``."""
+        import os
+
         size = 1 << num_vars
         self.num_vars = num_vars
         self._tables: List[List[int]] = []
         self._terms: List[tuple] = []
+        self._native_id = None
         seen = {}
         for coeff, tabs in terms:
             idxs = []
@@ -210,8 +217,31 @@ class SumOfProductsOracle(SumcheckOracle):
             self._terms.append((int(coeff) % _P, idxs))
         if not self._terms:
             raise SumCheckError("SumOfProductsOracle needs at least one term")
+        if size >= self.NATIVE_THRESHOLD and not os.environ.get(
+            "TNSH_NO_NATIVE"
+        ):
+            from .. import _native
+
+            if _native.available:
+                self._native_id = _native.sop_create(
+                    self._tables, self._terms
+                )
+                self._tables = []  # tables live native-side
+
+    def __del__(self):  # pragma: no cover - finalizer
+        if getattr(self, "_native_id", None) is not None:
+            try:
+                from .. import _native
+
+                _native.sop_free(self._native_id)
+            except Exception:
+                pass
 
     def round_evaluations(self, round_index: int) -> List[Fr]:
+        if self._native_id is not None:
+            from .. import _native
+
+            return _native.sop_round_evals(self._native_id)
         half = len(self._tables[0]) // 2
         sums = [0, 0, 0, 0]
         for s in range(half):
@@ -230,6 +260,11 @@ class SumOfProductsOracle(SumcheckOracle):
         return [Fr(v) for v in sums]
 
     def bind(self, challenge: Fr) -> None:
+        if self._native_id is not None:
+            from .. import _native
+
+            _native.sop_bind(self._native_id, challenge)
+            return
         r = int(challenge)
         self._tables = [
             [
@@ -240,6 +275,10 @@ class SumOfProductsOracle(SumcheckOracle):
         ]
 
     def final_evaluation(self, challenges: Sequence[Fr]) -> Fr:
+        if self._native_id is not None:
+            from .. import _native
+
+            return _native.sop_final(self._native_id)
         total = 0
         for coeff, idxs in self._terms:
             prod = coeff

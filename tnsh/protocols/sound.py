@@ -84,6 +84,14 @@ def _next_power_of_two(n: int) -> int:
 
 def _mle_eval(table: Sequence, point: Sequence[Fr]) -> Fr:
     """~table(point) by O(2^n) folding (little-endian variable order)."""
+    import os
+
+    if len(table) >= 1024 and point and not os.environ.get("TNSH_NO_NATIVE"):
+        from .. import _native
+
+        if _native.available:
+            value, _ = _native.fr_ml_open(list(table), point)
+            return value
     vals = [int(v) % _P for v in table]
     for r in point:
         ri = int(r)
