@@ -245,3 +245,81 @@ def _infer_vars(length: int) -> int:
     if length <= 0 or length & (length - 1):
         raise CommitmentError("evaluation table must be a power of two")
     return length.bit_length() - 1
+
+
+def batch_verify_openings(items) -> bool:
+    """Verify many PST openings with ONE pairing product.
+
+    ``items``: sequence of ``(vk, commitment, point, value, proof)``.
+    Standard RLC batching: random weights gamma_i are derived from a
+    transcript over the full statement, the commitment-side pairs collapse
+    into a single e(-sum gamma_i (C_i - v_i G), [1]_2), and openings AT THE
+    SAME POINT (under the same vk) share their G2 terms, so their quotients
+    merge into one weighted G1 point per variable.  For sound-Twist's 16
+    openings this is ~174 Miller loops + 1 final exponentiation instead of
+    ~242 + 16.  Soundness error ~items/r.
+    """
+    import os
+
+    items = list(items)
+    if not items:
+        return True
+    from ..core.transcript import Transcript
+
+    t = Transcript(bytes(32))
+    for vk, comm, point, value, proof in items:
+        t.append_field_element(b"mlbatch_commitment", comm.hash())
+        t.append_field_elements(b"mlbatch_point", list(point))
+        t.append_field_element(b"mlbatch_value", value)
+        for q in proof.quotients:
+            t.append_field_element(
+                b"mlbatch_quotient", KZGCommitmentValue(q).hash()
+            )
+    gamma = t.challenge_field_element(b"mlbatch_gamma")
+
+    g2_gen = items[0][0].g2_generator
+    g1_gen = items[0][0].g1_generator
+
+    def smul(p: G1, s: int) -> G1:
+        if s == 1:
+            return p
+        if not os.environ.get("TNSH_NO_NATIVE"):
+            from .. import _native
+
+            if _native.available:
+                return _native.g1_scalar_mul(p, Fr(s))
+        return p.scalar_mul(s)
+
+    acc_c = G1.zero()
+    acc_v = 0
+    groups = {}  # (id(vk), point tuple) -> [vk, point, [weighted Q sums]]
+    weight = Fr(1)
+    for vk, comm, point, value, proof in items:
+        if len(proof.quotients) != len(point):
+            return False
+        w = int(weight)
+        acc_c = acc_c.add(smul(comm.commitment, w))
+        acc_v = (acc_v + w * int(value)) % _P
+        key = (id(vk), tuple(int(x) for x in point))
+        g = groups.get(key)
+        if g is None:
+            g = [vk, list(point), [G1.zero()] * len(point)]
+            groups[key] = g
+        for m, q in enumerate(proof.quotients):
+            g[2][m] = g[2][m].add(smul(q, w))
+        weight = weight * gamma
+
+    left = acc_c - smul(g1_gen, acc_v)
+    pairs = [(left.neg(), g2_gen)]
+    for vk, point, qsums in groups.values():
+        for m, q in enumerate(qsums):
+            g2_term = vk.g2_taus[m] - g2_gen.scalar_mul(int(point[m]))
+            pairs.append((q, g2_term))
+    if not os.environ.get("TNSH_NO_NATIVE"):
+        from .. import _native
+
+        if _native.available:
+            return _native.pairing_product_is_one(pairs)
+    from ..field.pairing import pairing_product_is_one
+
+    return pairing_product_is_one(pairs)

@@ -274,20 +274,20 @@ class ShoutSound:
         if int(proof.onehot_check.final_evaluation) != want_one:
             return False
 
+        from ..commit.mkzg import batch_verify_openings
+
         _, vk_n = setup_multilinear_params(n)
         _, vk_t = setup_multilinear_params(log_t)
-        checks = [
-            (vk_t, proof.rv_commitment, rho_read, proof.rv_at_rho),
-            (vk_n, proof.ra_commitment, r1, proof.ra_at_read),
-            (vk_n, proof.ra_commitment, r2, proof.ra_at_bool),
-            (vk_n, proof.ra_commitment, r3, proof.ra_at_onehot),
-        ]
-        for vk, comm, point, opening in checks:
-            if not MultilinearKZG.verify(
-                vk, comm, point, opening.value, opening.proof
-            ):
-                return False
-        return True
+        return batch_verify_openings([
+            (vk_t, proof.rv_commitment, rho_read,
+             proof.rv_at_rho.value, proof.rv_at_rho.proof),
+            (vk_n, proof.ra_commitment, r1,
+             proof.ra_at_read.value, proof.ra_at_read.proof),
+            (vk_n, proof.ra_commitment, r2,
+             proof.ra_at_bool.value, proof.ra_at_bool.proof),
+            (vk_n, proof.ra_commitment, r3,
+             proof.ra_at_onehot.value, proof.ra_at_onehot.proof),
+        ])
 
 
 def _shout_bind_statement(
@@ -662,7 +662,10 @@ def _twist_check_finals_and_openings(
     if fr(proof.rowsum_wa_check.final_evaluation) != want:
         return False
 
-    # PST openings
+    # PST openings — one pairing product for all 16 (same-point openings
+    # share G2 terms; see mkzg.batch_verify_openings).
+    from ..commit.mkzg import batch_verify_openings
+
     _, vk_n = setup_multilinear_params(n)
     _, vk_t = setup_multilinear_params(log_t)
     checks = [
@@ -683,7 +686,7 @@ def _twist_check_finals_and_openings(
         (vk_n, proof.ra_commitment, r7, o_ra_r7),
         (vk_n, proof.wa_commitment, r8, o_wa_r8),
     ]
-    for vk, comm, point, opening in checks:
-        if not MultilinearKZG.verify(vk, comm, point, opening.value, opening.proof):
-            return False
-    return True
+    return batch_verify_openings(
+        (vk, comm, point, o.value, o.proof)
+        for vk, comm, point, o in checks
+    )
