@@ -130,6 +130,36 @@ class TestJaxSumcheckOracle:
         assert ok
 
 
+class TestJaxSumOfProducts:
+    def test_identical_proofs_to_host_and_native(self):
+        from tnsh.iop.sumcheck import JaxSumOfProductsOracle, SumOfProductsOracle
+
+        random.seed(47)
+        n = 4
+        size = 1 << n
+        t1 = [random.randrange(MODULUS) for _ in range(size)]
+        t2 = [random.randrange(MODULUS) for _ in range(size)]
+        t3 = [random.randrange(2) for _ in range(size)]
+        terms = [(1, [t1, t2, t3]), (MODULUS - 1, [t1, t3]), (7, [t2])]
+        total = Fr(
+            sum(
+                (a * b * c - a * c + 7 * b) % MODULUS
+                for a, b, c in zip(t1, t2, t3)
+            )
+            % MODULUS
+        )
+        sc = SumCheck(n, total)
+        seed = bytes([42]) * 32
+        host_proof = sc.prove(SumOfProductsOracle(n, terms), Transcript(seed))
+        jax_proof = sc.prove(
+            JaxSumOfProductsOracle(n, terms), Transcript(seed)
+        )
+        assert host_proof.round_polynomials == jax_proof.round_polynomials
+        assert host_proof.final_evaluation == jax_proof.final_evaluation
+        ok, _ = sc.verify(jax_proof, Transcript(seed))
+        assert ok
+
+
 class TestJaxMSM:
     def test_msm_exact(self):
         from tnsh.commit.kzg import msm as msm_host
@@ -229,6 +259,36 @@ class TestShardedOracle:
         mesh = make_mesh(jax.devices()[:8])
         sharded_proof = sc.prove(
             ShardedProductMLEOracle([ma, mb], mesh), Transcript(seed)
+        )
+        assert host_proof.round_polynomials == sharded_proof.round_polynomials
+        assert host_proof.final_evaluation == sharded_proof.final_evaluation
+        ok, _ = sc.verify(sharded_proof, Transcript(seed))
+        assert ok
+
+    def test_sharded_sop_oracle_identical_proofs(self):
+        from tnsh.iop.sumcheck import SumOfProductsOracle
+        from tnsh.parallel.mesh import ShardedSumOfProductsOracle, make_mesh
+
+        random.seed(93)
+        n = 6
+        size = 1 << n
+        t1 = [random.randrange(MODULUS) for _ in range(size)]
+        t2 = [random.randrange(MODULUS) for _ in range(size)]
+        t3 = [random.randrange(2) for _ in range(size)]
+        terms = [(1, [t1, t2, t3]), (MODULUS - 1, [t1, t3]), (7, [t2])]
+        total = Fr(
+            sum(
+                (a * b * c - a * c + 7 * b) % MODULUS
+                for a, b, c in zip(t1, t2, t3)
+            )
+            % MODULUS
+        )
+        sc = SumCheck(n, total)
+        seed = bytes([42]) * 32
+        host_proof = sc.prove(SumOfProductsOracle(n, terms), Transcript(seed))
+        mesh = make_mesh(jax.devices()[:8])
+        sharded_proof = sc.prove(
+            ShardedSumOfProductsOracle(n, terms, mesh), Transcript(seed)
         )
         assert host_proof.round_polynomials == sharded_proof.round_polynomials
         assert host_proof.final_evaluation == sharded_proof.final_evaluation

@@ -288,6 +288,78 @@ class SumOfProductsOracle(SumcheckOracle):
         return Fr(total % _P)
 
 
+class JaxSumOfProductsOracle(SumcheckOracle):
+    """TPU-backed sum-of-products oracle (tnsh.poly.mle_jax kernels).
+
+    Device twin of ``SumOfProductsOracle`` for the verifier-enforced
+    sound-mode constraint sum-checks: tables live on device as limb
+    planes, every round is one fused XLA computation (per-table X-point
+    values shared across terms), and the fold binds all tables in one
+    call.  Outputs unpack to canonical host field elements before
+    touching the transcript, so proofs are bit-identical to the host and
+    native oracles (asserted in tests/test_jax_backend.py).
+    """
+
+    def __init__(self, num_vars: int, terms):
+        import jax.numpy as jnp
+
+        from ..poly import mle_jax
+
+        self._m = mle_jax
+        size = 1 << num_vars
+        self.num_vars = num_vars
+        self.tables = []
+        self._coeffs = []
+        self._idxs: List[tuple] = []
+        seen = {}
+        for coeff, tabs in terms:
+            idxs = []
+            for t in tabs:
+                key = id(t)
+                if key not in seen:
+                    if len(t) != size:
+                        raise SumCheckError("table size mismatch")
+                    seen[key] = len(self.tables)
+                    self.tables.append(
+                        jnp.asarray(
+                            mle_jax.pack_mle([Fr(int(v) % _P) for v in t])
+                        )
+                    )
+                idxs.append(seen[key])
+            self._coeffs.append(
+                jnp.asarray(mle_jax.pack_fr_scalar(Fr(int(coeff) % _P)))
+            )
+            self._idxs.append(tuple(idxs))
+        if not self._idxs:
+            raise SumCheckError("JaxSumOfProductsOracle needs a term")
+        self._idxs = tuple(self._idxs)
+
+    def round_evaluations(self, round_index: int) -> List[Fr]:
+        evals = self._m.sum_of_products_round_evals_jit(
+            self.tables, self._coeffs, self._idxs
+        )
+        return self._m.unpack_fr(evals)
+
+    def bind(self, challenge: Fr) -> None:
+        import jax.numpy as jnp
+
+        r = jnp.asarray(self._m.pack_fr_scalar(challenge))
+        self.tables = [self._m.fold_jit(t, r) for t in self.tables]
+
+    def final_evaluation(self, challenges: Sequence[Fr]) -> Fr:
+        finals = [int(self._m.unpack_fr(t)[0]) for t in self.tables]
+        coeff_vals = [
+            int(self._m.unpack_fr(c)[0]) for c in self._coeffs
+        ]
+        total = 0
+        for coeff, idxs in zip(coeff_vals, self._idxs):
+            prod = coeff
+            for f in idxs:
+                prod = prod * finals[f] % _P
+            total += prod
+        return Fr(total % _P)
+
+
 class JaxProductMLEOracle(SumcheckOracle):
     """TPU-backed product-of-MLEs oracle (tnsh.poly.mle_jax kernels).
 

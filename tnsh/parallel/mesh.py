@@ -281,6 +281,133 @@ class ShardedProductMLEOracle(SumcheckOracle):
         return prod
 
 
+def sharded_sop_evals_step(mesh: Mesh, num_tables: int, term_idxs,
+                           axis: str = "data"):
+    """Jitted sharded sum-of-products round evaluations (sound-mode
+    constraints): shard-local partial sums + one exact psum."""
+    from ..poly import mle_jax
+
+    num_terms = len(term_idxs)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            tuple([P(None, axis)] * num_tables),
+            tuple([P(None, None)] * num_terms),
+        ),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    def step(tables, coeffs):
+        local = mle_jax.sum_of_products_round_evals(
+            list(tables), list(coeffs), term_idxs
+        )
+        return psum_field(local, axis)
+
+    return jax.jit(step)
+
+
+class ShardedSumOfProductsOracle(SumcheckOracle):
+    """Multi-chip sum-of-products oracle — the sound-mode constraint
+    sum-checks (tnsh.protocols.sound) on a device mesh.
+
+    Same sharding discipline as ``ShardedProductMLEOracle``: tables
+    block-sharded on lanes, rounds are shard-local + one psum, folds are
+    communication-free, tail rounds run replicated.  Bit-identical proofs
+    to the host/native ``SumOfProductsOracle`` (virtual-mesh tested).
+    """
+
+    def __init__(self, num_vars: int, terms, mesh: Mesh = None,
+                 axis: str = "data"):
+        import jax.numpy as jnp
+
+        from ..field.fr import MODULUS, Fr
+        from ..iop.sumcheck import SumCheckError
+        from ..poly import mle_jax
+
+        self._m = mle_jax
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = axis
+        self.n_devices = int(
+            np.prod([self.mesh.shape[a] for a in self.mesh.axis_names])
+        )
+        self.num_vars = num_vars
+        size = 1 << num_vars
+        shard = NamedSharding(self.mesh, P(None, axis))
+        tables = []
+        coeffs = []
+        idxs_list = []
+        seen = {}
+        for coeff, tabs in terms:
+            idxs = []
+            for t in tabs:
+                key = id(t)
+                if key not in seen:
+                    if len(t) != size:
+                        raise SumCheckError("table size mismatch")
+                    seen[key] = len(tables)
+                    tables.append(
+                        jax.device_put(
+                            jnp.asarray(
+                                mle_jax.pack_mle(
+                                    [Fr(int(v) % MODULUS) for v in t]
+                                )
+                            ),
+                            shard,
+                        )
+                    )
+                idxs.append(seen[key])
+            coeffs.append(
+                jnp.asarray(
+                    mle_jax.pack_fr_scalar(Fr(int(coeff) % MODULUS))
+                )
+            )
+            idxs_list.append(tuple(idxs))
+        if not idxs_list:
+            raise SumCheckError("ShardedSumOfProductsOracle needs a term")
+        self.tables = tuple(tables)
+        self._coeffs = tuple(coeffs)
+        self._idxs = tuple(idxs_list)
+        self._evals_fn = sharded_sop_evals_step(
+            self.mesh, len(tables), self._idxs, axis
+        )
+        self._fold_fn = sharded_fold_step(self.mesh, len(tables), axis)
+
+    def _sharded_ok(self) -> bool:
+        return self.tables[0].shape[1] >= 2 * self.n_devices
+
+    def round_evaluations(self, round_index: int):
+        if self._sharded_ok():
+            evals = self._evals_fn(self.tables, self._coeffs)
+        else:
+            evals = self._m.sum_of_products_round_evals_jit(
+                list(self.tables), list(self._coeffs), self._idxs
+            )
+        return self._m.unpack_fr(evals)
+
+    def bind(self, challenge) -> None:
+        import jax.numpy as jnp
+
+        r = jnp.asarray(self._m.pack_fr_scalar(challenge))
+        if self._sharded_ok():
+            self.tables = self._fold_fn(self.tables, r)
+        else:
+            self.tables = tuple(self._m.fold_jit(t, r) for t in self.tables)
+
+    def final_evaluation(self, challenges):
+        from ..field.fr import MODULUS, Fr
+
+        finals = [int(self._m.unpack_fr(t)[0]) for t in self.tables]
+        total = 0
+        for coeff, idxs in zip(self._coeffs, self._idxs):
+            prod = int(self._m.unpack_fr(coeff)[0])
+            for f in idxs:
+                prod = prod * finals[f] % MODULUS
+            total += prod
+        return Fr(total % MODULUS)
+
+
 # ---------------------------------------------------------------------------
 # Sharded MSM
 # ---------------------------------------------------------------------------

@@ -108,10 +108,46 @@ def product_round_evals(
     return jnp.concatenate(sums, axis=1)  # (L, 4)
 
 
+def sum_of_products_round_evals(
+    tables: Sequence[jnp.ndarray],
+    coeffs: Sequence[jnp.ndarray],
+    term_idxs: Tuple[Tuple[int, ...], ...],
+) -> jnp.ndarray:
+    """[g(0..3)] for f = Σ_t coeff_t * Π_{f in term_t} T_f -> (22, 4).
+
+    The TPU oracle behind the verifier-enforced sound-mode constraints
+    (tnsh.protocols.sound): per lane pair the four X-point values are
+    computed ONCE per distinct table, then combined per term and
+    accumulated before a single tree sum.  ``term_idxs`` is static
+    structure (baked into the jitted program); tables/coeffs are operands.
+    """
+    vals = []
+    for t in tables:
+        lo = t[:, 0::2]
+        hi = t[:, 1::2]
+        d = fr.sub(hi, lo)
+        v2 = fr.add(hi, d)
+        v3 = fr.add(v2, d)
+        vals.append(jnp.concatenate([lo, hi, v2, v3], axis=1))
+    acc = None
+    for coeff, idxs in zip(coeffs, term_idxs):
+        prods = None
+        for f in idxs:
+            prods = vals[f] if prods is None else fr.mont_mul(prods, vals[f])
+        prods = fr.mont_mul(jnp.broadcast_to(coeff, prods.shape), prods)
+        acc = prods if acc is None else fr.add(acc, prods)
+    half = acc.shape[1] // 4
+    sums = [sum_tree(acc[:, k * half:(k + 1) * half]) for k in range(4)]
+    return jnp.concatenate(sums, axis=1)  # (L, 4)
+
+
 # jitted wrappers (shapes cached by XLA)
 fold_jit = jax.jit(fold)
 sum_tree_jit = jax.jit(sum_tree)
 product_round_evals_jit = jax.jit(product_round_evals)
+sum_of_products_round_evals_jit = jax.jit(
+    sum_of_products_round_evals, static_argnums=(2,)
+)
 
 
 @jax.jit
