@@ -179,3 +179,26 @@ class TestTranscript:
             t2.challenge_field_element(b"opening_challenges_2"),
         ]
         assert cs == expected
+
+
+class TestNativeChallenge:
+    """The native fs_challenge kernel is a bit-exact twin of the Python path."""
+
+    def test_native_matches_python_pipeline(self):
+        import random
+
+        from tnsh import _native as nat
+
+        if not nat.available:  # pragma: no cover - toolchain-less fallback
+            import pytest
+
+            pytest.skip("native library unavailable")
+        rng = random.Random(0xF5)
+        for _ in range(50):
+            state = bytes(
+                rng.getrandbits(8) for _ in range(rng.randrange(0, 160))
+            )
+            digest = default_hasher_hash_bytes(state)
+            seed = struct.pack("<Q", digest) * 4
+            want = fr_rand(ChaCha20Rng.from_seed(seed))
+            assert Fr(nat.fs_challenge(state)) == want

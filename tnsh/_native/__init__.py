@@ -92,6 +92,7 @@ def _load() -> None:
              ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t, c_u8p],
             ctypes.c_int,
         ),
+        ("fs_challenge", [c_u8p, ctypes.c_size_t, c_u8p], None),
         ("sop_round_evals", [ctypes.c_int, c_u8p], None),
         ("sop_bind", [ctypes.c_int, c_u8p], None),
         ("sop_final", [ctypes.c_int, c_u8p], None),
@@ -227,6 +228,17 @@ def g2_scalar_mul(point, scalar):
     if x == (0, 0) and y == (0, 0):
         return G2.zero()
     return G2(x, y)
+
+
+def fs_challenge(state: bytes) -> int:
+    """Fiat-Shamir challenge over the transcript byte state (standard form).
+
+    Native twin of Transcript.challenge_field_element's digest->seed->Fr::rand
+    pipeline (reference utils.rs:172-192); returns the Fr value as an int.
+    """
+    raw, out = _out(32)
+    _lib.fs_challenge(_buf(state), len(state), out)
+    return int.from_bytes(raw.raw, "little")
 
 
 def pairing_equal(a1, a2, b1, b2) -> bool:

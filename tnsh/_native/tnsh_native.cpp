@@ -1274,8 +1274,10 @@ void fr_open_evals(const uint8_t *vals, size_t n, const uint8_t *z_b,
 void fr_ml_open(const uint8_t *evals, size_t size, const uint8_t *point,
                 size_t n_vars, uint8_t *out_q, uint8_t *out_value) {
     std::vector<u64> cur(4 * size);
+    // OMP team wake-up costs ~8 ms on this host; only fork when the loop
+    // body amortizes it (same rationale for every if() clause below).
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (size >= 65536)
 #endif
     for (size_t i = 0; i < size; i++) {
         u64 raw[4];
@@ -1290,7 +1292,7 @@ void fr_ml_open(const uint8_t *evals, size_t size, const uint8_t *point,
         to_mont(r, raw, FR);
         std::vector<u64> nxt(4 * half);
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (half >= 32768)
 #endif
         for (size_t i = 0; i < half; i++) {
             u64 d[4], m[4], s[4];
@@ -1345,7 +1347,7 @@ int sop_create(const uint8_t *tables, size_t num_tables, size_t size,
         st->tables[t].resize(4 * size);
         const uint8_t *src = tables + t * size * 32;
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (size >= 65536)
 #endif
         for (size_t i = 0; i < size; i++) {
             u64 raw[4];
@@ -1374,7 +1376,7 @@ void sop_round_evals(int id, uint8_t *out) {
     size_t nt = st->tables.size();
     u64 sums[4][4] = {{0}};
 #ifdef _OPENMP
-#pragma omp parallel
+#pragma omp parallel if (half >= 16384)
 #endif
     {
         u64 local[4][4] = {{0}};
@@ -1429,7 +1431,7 @@ void sop_bind(int id, const uint8_t *r_bytes) {
         // OpenMP (iteration i writes limbs other threads still read).
         std::vector<u64> out(4 * half);
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (half >= 131072)
 #endif
         for (size_t i = 0; i < half; i++) {
             u64 d[4], m[4];
@@ -1496,8 +1498,8 @@ void g1_msm(const uint8_t *points, const uint8_t *scalars, size_t n,
 void g1_fixed_base_batch(const uint8_t *base, const uint8_t *scalars, size_t n,
                          uint8_t *out) {
     G1J b = g1_from_bytes(base);
-    if (n < 64) {
-        // Table amortization doesn't pay below ~64 scalars.
+    if (n < 8) {
+        // Table amortization doesn't pay below a handful of scalars.
         for (size_t i = 0; i < n; i++) {
             u64 k[4];
             bytes_to_limbs(k, scalars + 32 * i);
@@ -1505,27 +1507,45 @@ void g1_fixed_base_batch(const uint8_t *base, const uint8_t *scalars, size_t n,
         }
         return;
     }
-    // table[w][d] = d * 2^(8w) * base
-    const int W = 32, D = 256;
-    std::vector<G1J> table(W * D);
+    // Window width minimizing table-build + per-scalar add counts:
+    // ceil(256/w) windows cost (2^w - 2) builds each and one add per
+    // scalar per window.
+    int wbits = 2;
+    double best = 1e300;
+    for (int cand = 2; cand <= 8; cand++) {
+        int W = (256 + cand - 1) / cand;
+        double cost =
+            (double)W * (double)((1 << cand) - 2) + (double)n * (double)W;
+        if (cost < best) {
+            best = cost;
+            wbits = cand;
+        }
+    }
+    const int W = (256 + wbits - 1) / wbits, D = 1 << wbits;
+    // table[w][d] = d * 2^(wbits*w) * base
+    std::vector<G1J> table((size_t)W * D);
     G1J wb = b;
     for (int w = 0; w < W; w++) {
-        table[w * D] = g1_zero();
-        table[w * D + 1] = wb;
+        table[(size_t)w * D] = g1_zero();
+        table[(size_t)w * D + 1] = wb;
         for (int d = 2; d < D; d++)
-            table[w * D + d] = g1_add(table[w * D + d - 1], wb);
-        for (int k = 0; k < 8; k++) wb = g1_dbl(wb);
+            table[(size_t)w * D + d] = g1_add(table[(size_t)w * D + d - 1], wb);
+        for (int k = 0; k < wbits; k++) wb = g1_dbl(wb);
     }
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 1024)
 #endif
     for (size_t i = 0; i < n; i++) {
         u64 k[4];
         bytes_to_limbs(k, scalars + 32 * i);
         G1J acc = g1_zero();
         for (int w = 0; w < W; w++) {
-            int d = (int)((k[w / 8] >> ((w % 8) * 8)) & 0xFF);
-            if (d) acc = g1_add(acc, table[w * D + d]);
+            int shift = w * wbits;
+            int limb = shift / 64, off = shift % 64;
+            u64 d = (limb < 4) ? (k[limb] >> off) : 0;
+            if (off + wbits > 64 && limb + 1 < 4) d |= k[limb + 1] << (64 - off);
+            d &= (u64)(D - 1);
+            if (d) acc = g1_add(acc, table[(size_t)w * D + (size_t)d]);
         }
         g1_to_bytes(out + 64 * i, acc);
     }
@@ -1925,7 +1945,7 @@ static G1J pippenger_affine_glv(const std::vector<AffinePt> &pts,
         }
     }
 #ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic)
+#pragma omp parallel for schedule(dynamic) if (n >= 16384)
 #endif
     for (int w = 0; w < windows; w++) {
         // Chunked sorted-schedule batch-affine bucket accumulation.
@@ -2157,9 +2177,7 @@ static G1J pippenger_affine(const std::vector<AffinePt> &pts,
     int windows = (254 + c - 1) / c;
     u64 mask = (1ULL << c) - 1;
     std::vector<G1J> window_sums(windows);
-#ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic)
-#endif
+    // m < 32 here: serial is always cheaper than an OMP team wake.
     for (int w = 0; w < windows; w++) {
         std::vector<G1J> buckets((size_t(1) << c), g1_zero());
         int shift = w * c;
@@ -2230,7 +2248,7 @@ int srs_create_fixed_base(const uint8_t *base, const uint8_t *scalars,
         for (int k = 0; k < 8; k++) wb = g1_dbl(wb);
     }
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 1024)
 #endif
     for (size_t i = 0; i < n; i++) {
         u64 k[4];
@@ -2356,6 +2374,113 @@ void dbg_final_exp(const uint8_t *a, uint8_t *out) {
 
 void dbg_final_exp_naive(const uint8_t *a, uint8_t *out) {
     fq12_write(out, final_exp_naive(fq12_read(a)));
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fiat-Shamir challenge kernel
+//
+// Native twin of tnsh/core/transcript.py::challenge_field_element — the
+// reference's Transcript (utils.rs:172-192): digest the accumulated state
+// with Rust's DefaultHasher (SipHash-1-3, zero keys, 8-byte LE length
+// prefix), tile the 64-bit digest to a 32-byte ChaCha20 seed, and draw one
+// ark-ff 0.4.2 Fr::rand sample (4 sequential u64 limbs, top limb masked to
+// 254 bits, rejection-sampled below r, interpreted as the Montgomery
+// representation).  Bit-exactness is locked by tests/test_golden_vectors.py
+// and the Python-vs-native equality test in tests/test_rng.py.
+// ---------------------------------------------------------------------------
+
+static inline u64 sip_rotl64(u64 v, int s) { return (v << s) | (v >> (64 - s)); }
+static inline uint32_t cc_rotl32(uint32_t v, int s) {
+    return (v << s) | (v >> (32 - s));
+}
+
+static inline void sip_rounds13(u64 &v0, u64 &v1, u64 &v2, u64 &v3, int n) {
+    for (int i = 0; i < n; i++) {
+        v0 += v1; v1 = sip_rotl64(v1, 13); v1 ^= v0; v0 = sip_rotl64(v0, 32);
+        v2 += v3; v3 = sip_rotl64(v3, 16); v3 ^= v2;
+        v0 += v3; v3 = sip_rotl64(v3, 21); v3 ^= v0;
+        v2 += v1; v1 = sip_rotl64(v1, 17); v1 ^= v2; v2 = sip_rotl64(v2, 32);
+    }
+}
+
+// SipHash-1-3(le64(len) || data), keys zero — Rust DefaultHasher over Vec<u8>.
+static u64 siphash13_vec(const uint8_t *data, size_t len) {
+    u64 v0 = 0x736F6D6570736575ULL, v1 = 0x646F72616E646F6DULL;
+    u64 v2 = 0x6C7967656E657261ULL, v3 = 0x7465646279746573ULL;
+    size_t total = len + 8;
+    u64 m = (u64)len;  // aligned 8-byte length-prefix word
+    v3 ^= m; sip_rounds13(v0, v1, v2, v3, 1); v0 ^= m;
+    size_t n_full = len / 8;
+    for (size_t i = 0; i < n_full; i++) {
+        memcpy(&m, data + 8 * i, 8);
+        v3 ^= m; sip_rounds13(v0, v1, v2, v3, 1); v0 ^= m;
+    }
+    u64 b = (u64)(total & 0xFF) << 56, t = 0;
+    memcpy(&t, data + 8 * n_full, len - 8 * n_full);
+    b |= t;
+    v3 ^= b; sip_rounds13(v0, v1, v2, v3, 1); v0 ^= b;
+    v2 ^= 0xFF; sip_rounds13(v0, v1, v2, v3, 3);
+    return v0 ^ v1 ^ v2 ^ v3;
+}
+
+// One 64-byte djb-variant ChaCha20 block (64-bit counter, zero nonce).
+static void chacha20_block(const uint32_t key[8], u64 counter,
+                           uint8_t out[64]) {
+    uint32_t st[16] = {0x61707865u, 0x3320646Eu, 0x79622D32u, 0x6B206574u,
+                       key[0], key[1], key[2], key[3],
+                       key[4], key[5], key[6], key[7],
+                       (uint32_t)counter, (uint32_t)(counter >> 32), 0, 0};
+    uint32_t x[16];
+    memcpy(x, st, 64);
+#define TNSH_QR(a, b, c, d)                                   \
+    x[a] += x[b]; x[d] ^= x[a]; x[d] = cc_rotl32(x[d], 16);   \
+    x[c] += x[d]; x[b] ^= x[c]; x[b] = cc_rotl32(x[b], 12);   \
+    x[a] += x[b]; x[d] ^= x[a]; x[d] = cc_rotl32(x[d], 8);    \
+    x[c] += x[d]; x[b] ^= x[c]; x[b] = cc_rotl32(x[b], 7);
+    for (int i = 0; i < 10; i++) {
+        TNSH_QR(0, 4, 8, 12) TNSH_QR(1, 5, 9, 13)
+        TNSH_QR(2, 6, 10, 14) TNSH_QR(3, 7, 11, 15)
+        TNSH_QR(0, 5, 10, 15) TNSH_QR(1, 6, 11, 12)
+        TNSH_QR(2, 7, 8, 13) TNSH_QR(3, 4, 9, 14)
+    }
+#undef TNSH_QR
+    for (int i = 0; i < 16; i++) {
+        uint32_t w = x[i] + st[i];
+        memcpy(out + 4 * i, &w, 4);
+    }
+}
+
+extern "C" {
+
+// out: 32-byte LE standard-form Fr challenge for the given transcript state.
+void fs_challenge(const uint8_t *state, size_t len, uint8_t *out) {
+    u64 digest = siphash13_vec(state, len);
+    uint32_t key[8];
+    for (int i = 0; i < 4; i++) {
+        key[2 * i] = (uint32_t)digest;
+        key[2 * i + 1] = (uint32_t)(digest >> 32);
+    }
+    uint8_t buf[64];
+    u64 counter = 0;
+    size_t pos = 64;  // draws are 8-byte aligned, so pos never straddles
+    u64 limbs[4];
+    for (;;) {
+        for (int i = 0; i < 4; i++) {
+            if (pos == 64) {
+                chacha20_block(key, counter++, buf);
+                pos = 0;
+            }
+            memcpy(&limbs[i], buf + pos, 8);
+            pos += 8;
+        }
+        limbs[3] &= ~0ULL >> 2;
+        if (!geq(limbs, FR.p)) break;
+    }
+    u64 std_form[4];
+    from_mont(std_form, limbs, FR);  // Montgomery repr -> u * R^{-1} mod r
+    limbs_to_bytes(out, std_form);
 }
 
 }  // extern "C"

@@ -25,6 +25,11 @@ from typing import List, Sequence
 from ..field.fr import Fr
 from .rng import ChaCha20Rng, default_hasher_hash_bytes, fr_rand
 
+try:  # native digest->seed->Fr::rand kernel (bit-exact twin of the above)
+    from .. import _native as _nat
+except Exception:  # pragma: no cover - import-time degradation
+    _nat = None
+
 
 class Transcript:
     """Deterministic Fiat-Shamir transcript (reference utils.rs:134-204)."""
@@ -50,6 +55,8 @@ class Transcript:
 
     def challenge_field_element(self, label: bytes) -> Fr:
         self._state.extend(label)
+        if _nat is not None and _nat.available:
+            return Fr(_nat.fs_challenge(bytes(self._state)))
         digest = default_hasher_hash_bytes(bytes(self._state))
         seed = struct.pack("<Q", digest) * 4
         rng = ChaCha20Rng.from_seed(seed)
