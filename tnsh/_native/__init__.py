@@ -263,10 +263,7 @@ def _scalar_bytes(scalars) -> tuple:
     """(raw bytes, count) for a scalar sequence; raw bytes pass through."""
     if isinstance(scalars, (bytes, bytearray)):
         return bytes(scalars), len(scalars) // 32
-    return (
-        b"".join(int(s).to_bytes(32, "little") for s in scalars),
-        len(scalars),
-    )
+    return _fr_vec_bytes(scalars), len(scalars)
 
 
 def fr_lagrange_tau(tau, n: int) -> bytes:
@@ -353,15 +350,33 @@ def srs_free(srs_id: int) -> None:
 
 # -- native sum-of-products sum-check oracle ---------------------------------
 
+def _fr_vec_bytes(vals) -> bytes:
+    """Serialize a sequence of Fr/int to 32-byte LE words.
+
+    Tables dominated by machine-word values (one-hot matrices, address
+    columns) take a vectorized numpy path; any value >= 2^64 falls back to
+    the exact per-element encoding.  Bytes inputs pass through untouched.
+    """
+    if isinstance(vals, (bytes, bytearray)):
+        return bytes(vals)
+    try:
+        import numpy as _np
+
+        arr = _np.fromiter(vals, dtype=_np.uint64, count=len(vals))
+        out = _np.zeros((len(vals), 4), dtype="<u8")
+        out[:, 0] = arr
+        return out.tobytes()
+    except (OverflowError, ValueError, TypeError):
+        return b"".join(int(v).to_bytes(32, "little") for v in vals)
+
+
 def sop_create(tables, terms) -> int:
     """Create a native oracle handle.
 
     ``tables``: list of equal-length int/Fr lists; ``terms``: list of
     ``(coeff, [table_index, ...])``.  Returns a handle id."""
     size = len(tables[0])
-    blob = b"".join(
-        int(v).to_bytes(32, "little") for t in tables for v in t
-    )
+    blob = b"".join(_fr_vec_bytes(t) for t in tables)
     spec = []
     coeffs = b""
     for coeff, idxs in terms:

@@ -1376,7 +1376,7 @@ void sop_round_evals(int id, uint8_t *out) {
     size_t nt = st->tables.size();
     u64 sums[4][4] = {{0}};
 #ifdef _OPENMP
-#pragma omp parallel if (half >= 16384)
+#pragma omp parallel if (half >= 131072)
 #endif
     {
         u64 local[4][4] = {{0}};
