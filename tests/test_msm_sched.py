@@ -1,0 +1,113 @@
+"""Equality tests for the cell-scheduled TPU Pippenger MSM (msm_sched).
+
+Every case checks bit-identical group elements against the host golden MSM
+(tnsh.commit.kzg.msm), per the backend-equality invariant.  Runs on the
+virtual CPU mesh (conftest) — the kernel is backend-agnostic XLA.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from tnsh.field.fr import Fr, MODULUS
+from tnsh.field.g1 import G1
+from tnsh.commit.kzg import msm as host_msm
+from tnsh.commit.msm_sched import (
+    MsmPlan,
+    ScheduledMsmContext,
+    msm_scheduled,
+    scalars_to_byte_matrix,
+    signed_digits,
+)
+
+
+@pytest.fixture(scope="module")
+def points():
+    random.seed(101)
+    g = G1.generator()
+    pts = [g.scalar_mul(Fr(random.randrange(1, MODULUS))) for _ in range(48)]
+    pts[5] = G1.zero()  # identity points must contribute nothing
+    return pts
+
+
+def test_signed_digits_reconstruct():
+    random.seed(3)
+    vals = [0, 1, 127, 128, 255, 256, MODULUS - 1] + [
+        random.randrange(MODULUS) for _ in range(20)
+    ]
+    sb = scalars_to_byte_matrix([Fr(v) for v in vals], len(vals))
+    d = signed_digits(sb)
+    for j, v in enumerate(vals):
+        acc = sum(int(d[w, j]) * (256 ** w) for w in range(d.shape[0]))
+        assert acc == v
+
+
+def test_signed_digits_adaptive_width():
+    sb = scalars_to_byte_matrix([Fr(300), Fr(7)], 2)
+    d = signed_digits(sb)
+    assert d.shape[0] == 4  # 2 bytes used -> W=3 padded to 4
+
+
+def test_plan_splits_heavy_buckets():
+    d = np.zeros((4, 256), dtype=np.int8)
+    d[0, :] = 5  # 256 identical digits: one group, K=128 split lanes
+    plan = MsmPlan(d, 256)
+    assert plan.log_k[0] == 7
+    assert plan.r_exact == 2  # 256 members / 128 lanes
+    d[0, :128] = 3  # two groups -> K=64
+    plan = MsmPlan(d, 256)
+    assert plan.log_k[0] == 6
+    assert plan.r_exact == 2
+
+
+@pytest.mark.parametrize(
+    "name,make",
+    [
+        ("full", lambda n: [Fr(random.randrange(MODULUS)) for _ in range(n)]),
+        ("small", lambda n: [Fr(random.randrange(1 << 26)) for _ in range(n)]),
+        ("skewed", lambda n: [Fr(424242)] * n),
+        ("sparse", lambda n: [Fr(0) if i % 3 else Fr(i) for i in range(n)]),
+    ],
+)
+def test_msm_matches_host(points, name, make):
+    random.seed(hash(name) % (1 << 30))
+    scalars = make(len(points))
+    assert msm_scheduled(points, scalars) == host_msm(points, scalars)
+
+
+def test_msm_all_zero_scalars(points):
+    assert msm_scheduled(points, [Fr(0)] * len(points)) == G1.zero()
+
+
+def test_context_prefix_msm(points):
+    random.seed(17)
+    ctx = ScheduledMsmContext(points)
+    for n in (len(points), 13, 1):
+        scalars = [Fr(random.randrange(MODULUS)) for _ in range(n)]
+        assert ctx.msm(scalars) == host_msm(points[:n], scalars)
+
+
+def test_context_scalar_bytes_input(points):
+    random.seed(23)
+    ctx = ScheduledMsmContext(points)
+    vals = [random.randrange(MODULUS) for _ in range(len(points))]
+    raw = b"".join(v.to_bytes(32, "little") for v in vals)
+    assert ctx.msm(raw) == host_msm(points, [Fr(v) for v in vals])
+
+
+def test_native_srs_context_matches():
+    _native = pytest.importorskip("tnsh._native")
+    if not _native.available:
+        pytest.skip("native layer unavailable")
+    random.seed(31)
+    scal = b"".join(
+        random.randrange(MODULUS).to_bytes(32, "little") for _ in range(32)
+    )
+    srs_id = _native.srs_create_fixed_base(G1.generator(), scal)
+    try:
+        ctx = ScheduledMsmContext.from_native_srs(srs_id)
+        scalars = [Fr(random.randrange(MODULUS)) for _ in range(32)]
+        assert ctx.msm(scalars) == _native.srs_msm(srs_id, scalars)
+    finally:
+        _native.srs_free(srs_id)

@@ -84,6 +84,11 @@ def _load() -> None:
         ("srs_create_from_points", [c_u8p, ctypes.c_size_t], ctypes.c_int),
         ("srs_size", [ctypes.c_int], ctypes.c_long),
         ("srs_get_point", [ctypes.c_int, ctypes.c_size_t, c_u8p], None),
+        (
+            "srs_export_affine",
+            [ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t, c_u8p],
+            None,
+        ),
         ("srs_msm", [ctypes.c_int, c_u8p, ctypes.c_size_t, c_u8p], None),
         ("srs_free", [ctypes.c_int], None),
         (
@@ -333,6 +338,16 @@ def srs_point(srs_id: int, idx: int):
     raw, out = _out(64)
     _lib.srs_get_point(srs_id, idx, out)
     return _g1_from_bytes(raw.raw)
+
+
+def srs_export_affine(srs_id: int, start: int = 0, count: int = -1) -> bytes:
+    """Standard-form affine bytes (64 B/point) for SRS points
+    [start, start+count); identity points are all-zero."""
+    if count < 0:
+        count = srs_size(srs_id) - start
+    raw, out = _out(64 * count)
+    _lib.srs_export_affine(srs_id, start, count, out)
+    return raw.raw
 
 
 def srs_msm(srs_id: int, scalars):

@@ -2292,6 +2292,30 @@ void srs_get_point(int id, size_t idx, uint8_t *out) {
     limbs_to_bytes(out + 32, s);
 }
 
+// Bulk export of SRS points [start, start+count) as standard-form affine
+// bytes (64 B per point, identity = all-zero).  One call replaces count
+// srs_get_point round-trips; feeds the TPU MSM's device-resident planes.
+void srs_export_affine(int id, size_t start, size_t count, uint8_t *out) {
+    if (id < 0 || id >= (int)g_srs_store.size()) return;
+    const std::vector<AffinePt> &all = g_srs_store[id];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (count >= 16384)
+#endif
+    for (long k = 0; k < (long)count; k++) {
+        size_t i = start + (size_t)k;
+        uint8_t *o = out + 64 * (size_t)k;
+        if (i >= all.size() || all[i].inf) {
+            memset(o, 0, 64);
+            continue;
+        }
+        u64 s[4];
+        from_mont(s, all[i].x, FQ);
+        limbs_to_bytes(o, s);
+        from_mont(s, all[i].y, FQ);
+        limbs_to_bytes(o + 32, s);
+    }
+}
+
 // MSM of the first n SRS points against n scalars.
 void srs_msm(int id, const uint8_t *scalars, size_t n, uint8_t *out) {
     const std::vector<AffinePt> &all = g_srs_store[id];

@@ -46,18 +46,54 @@ from ..poly.interp import interpolate_on_range
 # Host-side Pippenger MSM (golden path; TPU path in tnsh.commit.msm_jax)
 # ---------------------------------------------------------------------------
 
+#: Minimum MSM size for the TPU scheduled-Pippenger path (msm_sched).
+_TPU_MSM_MIN = int(os.environ.get("TNSH_TPU_MSM_MIN", str(1 << 16)))
+_tpu_msm_contexts: dict = {}
+
+
+def _tpu_msm_enabled() -> bool:
+    flag = os.environ.get("TNSH_TPU_MSM", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _tpu_srs_context(srs_id: int):
+    ctx = _tpu_msm_contexts.get(srs_id)
+    if ctx is None:
+        from .msm_sched import ScheduledMsmContext
+
+        ctx = ScheduledMsmContext.from_native_srs(srs_id)
+        _tpu_msm_contexts[srs_id] = ctx
+    return ctx
+
+
 def msm(points: Sequence[G1], scalars: Sequence[Fr]) -> G1:
     """Σ s_i · P_i via windowed bucket accumulation.
 
-    Dispatches to the C++ native Pippenger (tnsh/_native) when available —
-    directly against the handle for native-resident SRS views — and both
-    paths produce the identical group element.
+    Dispatches to the TPU scheduled-Pippenger (tnsh.commit.msm_sched) for
+    large MSMs against native-resident SRS views, else to the C++ native
+    Pippenger (tnsh/_native); all paths produce the identical group element.
     """
     from ..core.params import NativeSRS
 
     if isinstance(points, NativeSRS):
         from .. import _native
 
+        n_sc = (
+            len(scalars) // 32
+            if isinstance(scalars, (bytes, bytearray))
+            else len(scalars)
+        )
+        if n_sc >= _TPU_MSM_MIN and _tpu_msm_enabled():
+            return _tpu_srs_context(points.srs_id).msm(scalars)
         return _native.srs_msm(points.srs_id, scalars)
     if isinstance(scalars, (bytes, bytearray)):
         from ..field.fr import Fr as _Fr

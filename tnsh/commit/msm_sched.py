@@ -1,0 +1,568 @@
+"""Cell-scheduled Pippenger MSM on TPU — the round-2 flagship kernel.
+
+Re-designs the reference's commit MSM (/root/reference/src/commitments.rs:
+162-180) for TPU execution.  The round-1 XLA Pippenger
+(``pippenger_jax.py``) was gather-bound because every bucket-insertion step
+gathered from the FULL point array (and a c=12/n=2^16 configuration crashed
+the axon TPU worker).  Measured on the v5e, ``jnp.take`` is fast when the
+gather *table* is chunk-sized (~0.2-1 us for a 4096-wide gather from a
+<=32k-lane table) — so this kernel restructures Pippenger around
+chunk-local gathers and keeps every other data structure device-resident:
+
+  * **Signed 8-bit windows**: scalars split into W windows of signed digits
+    in [-128, 127] (host numpy for explicit scalars; W adapts to the scalar
+    magnitude, so small commit scalars get W≈4 instead of 32).  Bucket
+    lanes = (window, |digit|-1): a flat (22, W*128) plane array of Jacobian
+    accumulators that stays device-resident for the whole MSM.
+  * **Chunk streaming**: points stream in m-point chunks (contiguous
+    dynamic slices, no host round trips).  For each chunk the device builds
+    a conflict-free insertion schedule: per-window bucket ranks via a
+    cumulative one-hot sum, then the (R_c, W*128) slot table via an exact
+    f32 one-hot matmul on the MXU (all values < 2^24, so f32 is exact).
+  * **R_c insertion steps per chunk**: step s gathers the s-th member of
+    every bucket from the chunk (table width m — the fast gather regime)
+    and performs one masked mixed-add across all W*128 lanes.  R_c is the
+    exact maximum bucket occupancy, computed host-side from the digits, so
+    there is no overflow path.
+  * **Aggregation**: per-window Σ_d d·B_d via an in-block suffix scan plus
+    tree sum (Σ_b (b+1)·B_b = Σ_k S_k with S_k the inclusive suffix sums),
+    then a W-window Horner combine on the host (native G1).
+
+Group-law hazard: a mixed-add where the incoming point equals the
+accumulator needs a doubling.  Inside one bucket lane the accumulator is a
+partial sum of *distinct earlier points of the same bucket*, so equality is
+cryptographically negligible for SRS bases — but it is *detected* (H == 0,
+r == 0) and counted; a nonzero flag triggers a host-MSM fallback, so the
+result is always exact.  Everything else is exact int32 limb arithmetic
+(tnsh.field.fr_jax), bit-identical to the host MSM.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..field.fr import Fr
+from ..field.g1 import G1
+from ..field.limbs import FQ_SPEC, LIMB_BITS, NUM_LIMBS
+
+_L = NUM_LIMBS  # 22 limb planes
+
+
+# ---------------------------------------------------------------------------
+# Host-side preparation (numpy, vectorized)
+# ---------------------------------------------------------------------------
+
+def scalars_to_byte_matrix(scalars, n: int) -> np.ndarray:
+    """(n, 32) uint8 little-endian scalar bytes."""
+    if isinstance(scalars, (bytes, bytearray)):
+        out = np.frombuffer(bytes(scalars), dtype=np.uint8)
+        return out.reshape(-1, 32)[:n]
+    if isinstance(scalars, np.ndarray) and scalars.dtype.kind in "iu":
+        out = np.zeros((n, 32), dtype=np.uint8)
+        v = scalars[:n].astype(np.uint64)
+        for b in range(8):
+            out[:, b] = ((v >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(
+                np.uint8
+            )
+        return out
+    try:
+        from .. import _native
+
+        if _native.available:
+            data = _native._fr_vec_bytes(scalars[:n])
+            return np.frombuffer(data, dtype=np.uint8).reshape(-1, 32)
+    except Exception:
+        pass
+    data = b"".join(int(s).to_bytes(32, "little") for s in scalars[:n])
+    return np.frombuffer(data, dtype=np.uint8).reshape(-1, 32)
+
+
+def signed_digits(sb: np.ndarray) -> np.ndarray:
+    """(W, n) int8 signed base-256 digits of (n, 32) uint8 scalar bytes.
+
+    Digits lie in [-128, 127]; W adapts to the highest nonzero byte (+1
+    carry window, padded to a multiple of 4 to bound kernel-shape count).
+    Σ_w d_w 256^w reconstructs each scalar exactly.
+    """
+    n = sb.shape[0]
+    used = np.nonzero(sb.any(axis=0))[0]
+    hb = int(used[-1]) if used.size else 0
+    w_count = min(hb + 2, 32)
+    w_count = (w_count + 3) // 4 * 4
+    d = sb[:, :w_count].astype(np.int16).T.copy()  # (W, n)
+    carry = np.zeros(n, dtype=np.int16)
+    for w in range(w_count):
+        v = d[w] + carry
+        carry = (v >= 128).astype(np.int16)
+        d[w] = v - (carry << 8)
+    if carry.any():  # only possible for byte 31 >= 0x7F: not a valid Fr
+        raise ValueError("scalar out of field range for signed windows")
+    return d.astype(np.int8)
+
+
+class MsmPlan:
+    """Host-computed, data-dependent plan for one MSM call.
+
+    Skew defense (bucket splitting): a (window, digit) group with many
+    members — low-entropy top windows of small scalars, repeated Twist
+    addresses, even ALL-identical scalars — would make the per-chunk
+    insertion depth R_c explode if each group owned a single lane.  The
+    plan therefore assigns each group K_w = pow2(128 // support_w) lanes;
+    insert ``rank`` maps to (step = rank >> log2 K_w, sublane = rank & K_w-1),
+    so R_c stays ~= max chunk-group-count / K_w <= m/128 + slack and total
+    work stays n*W lane-adds regardless of the digit distribution.  All
+    plan outputs are runtime tensors — kernel shapes depend only on
+    (chunks, m, W, R_c), so compile count stays bounded.
+    """
+
+    def __init__(self, d: np.ndarray, m: int):
+        w_count, n_pad = d.shape
+        self.w_count = w_count
+        chunks = n_pad // m
+        mags = np.abs(d.astype(np.int16)).astype(np.int32)
+        # one bincount keyed (chunk, window, |digit|) covers both the global
+        # support map and the per-chunk occupancy maxima (the round-1 profile
+        # showed a per-chunk bincount loop costing ~0.8 s at 2^18)
+        offs = (np.arange(w_count, dtype=np.int32) * 129)[:, None]
+        keys = mags + offs  # (W, n_pad)
+        keys = keys.reshape(w_count, chunks, m) + (
+            np.arange(chunks, dtype=np.int32) * (w_count * 129)
+        )[None, :, None]
+        ccnt = np.bincount(
+            keys.ravel(), minlength=chunks * w_count * 129
+        ).reshape(chunks, w_count, 129)
+        ccnt[:, :, 0] = 0
+        gcnt = ccnt.sum(axis=0)
+        self.log_k = np.zeros((w_count,), dtype=np.int32)
+        self.slot_map = np.zeros((w_count, 129), dtype=np.int32)
+        supported = gcnt > 0
+        for w in range(w_count):
+            v = int(supported[w].sum())
+            if v == 0:
+                continue
+            k = 1
+            while k * 2 <= 128 // v:
+                k *= 2
+            self.log_k[w] = k.bit_length() - 1
+            self.slot_map[w, supported[w]] = np.arange(v, dtype=np.int32)
+        k_w = (1 << self.log_k).astype(np.int64)
+        # exact R_c: max over chunks of ceil(group count / K_w)
+        steps = -(-ccnt // k_w[None, :, None])
+        self.r_exact = int(steps.max()) if steps.size else 0
+        # lane-layout tensors for the aggregation phase
+        lanes = w_count * 128
+        lane_w = np.arange(lanes) // 128
+        lane_in = np.arange(lanes) % 128
+        lane_k = lane_in & (k_w[lane_w] - 1)
+        self.fold_masks = np.zeros((7, lanes), dtype=bool)
+        for t in range(7):
+            sh = 1 << t
+            self.fold_masks[t] = (
+                (sh < k_w[lane_w]) & (lane_k % (2 * sh) == 0)
+            )
+        # canonical magnitude layout: lane w*128+(b) holds digit b+1
+        self.canon_src = np.zeros((lanes,), dtype=np.int32)
+        self.canon_mask = np.zeros((lanes,), dtype=bool)
+        for w in range(w_count):
+            for dmag in range(1, 129):
+                if not supported[w, dmag]:
+                    continue
+                dst = w * 128 + (dmag - 1)
+                src = w * 128 + int(self.slot_map[w, dmag]) * int(k_w[w])
+                self.canon_src[dst] = src
+                self.canon_mask[dst] = True
+
+
+def bytes_to_limb_planes(b: np.ndarray) -> np.ndarray:
+    """(n, 32) uint8 LE bytes → (22, n) int32 12-bit limb planes (standard
+    form; Montgomery conversion happens on device)."""
+    n = b.shape[0]
+    padded = np.zeros((n, 34), dtype=np.uint8)
+    padded[:, :32] = b
+    u = padded.astype(np.uint32)
+    out = np.empty((_L, n), dtype=np.int32)
+    for i in range(_L):
+        b0, off = (LIMB_BITS * i) // 8, (LIMB_BITS * i) % 8
+        v = (u[:, b0] | (u[:, b0 + 1] << 8) | (u[:, b0 + 2] << 16)) >> off
+        out[i] = (v & ((1 << LIMB_BITS) - 1)).astype(np.int32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device kernel
+# ---------------------------------------------------------------------------
+
+def _get_jax():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    return jax, jnp, lax
+
+
+def _padd_mixed_flag(fq, X1, Y1, Z1, x2, y2, take):
+    """Mixed Jacobian+affine add (no doubling branch) returning also the
+    per-lane 'accumulator equals input' hazard flag.  Mirrors
+    msm_jax._padd_mixed (11 field muls) with the flag exposed."""
+    _, jnp, _ = _get_jax()
+    (Z1Z1,) = fq.mont_mul_many([(Z1, Z1)])
+    U2, T2 = fq.mont_mul_many([(x2, Z1Z1), (y2, Z1)])
+    (S2,) = fq.mont_mul_many([(T2, Z1Z1)])
+    H = fq.sub(U2, X1)
+    r0 = fq.sub(S2, Y1)
+    r = fq.add(r0, r0)
+    H2 = fq.add(H, H)
+    I, RR = fq.mont_mul_many([(H2, H2), (r, r)])
+    J, V = fq.mont_mul_many([(H, I), (X1, I)])
+    X3 = fq.sub(fq.sub(RR, J), fq.add(V, V))
+    RVX, SJ, Z1H = fq.mont_mul_many([(r, fq.sub(V, X3)), (Y1, J), (Z1, H)])
+    Y3 = fq.sub(RVX, fq.add(SJ, SJ))
+    Z3 = fq.add(Z1H, Z1H)
+
+    p_inf = fq.is_zero(Z1)
+    one = fq.one(X1.shape[1:])
+    X3 = fq.select(p_inf, x2, X3)
+    Y3 = fq.select(p_inf, y2, Y3)
+    Z3 = fq.select(p_inf, one, Z3)
+
+    X3 = fq.select(take, X3, X1)
+    Y3 = fq.select(take, Y3, Y1)
+    Z3 = fq.select(take, Z3, Z1)
+    same = take & fq.is_zero(H) & fq.is_zero(r0) & ~p_inf
+    return X3, Y3, Z3, same
+
+
+def _window_sums(fq, _padd, X, Y, Z, w_count: int):
+    """Per-window Σ_{d=1..128} d·B_d over flat (·, W*128) bucket lanes.
+
+    Lane w*128+b holds bucket magnitude b+1.  Uses Σ_b (b+1) B_b = Σ_k S_k
+    with S_k the in-block inclusive suffix sums: a 7-step Hillis-Steele
+    suffix scan followed by a 7-step in-block tree sum."""
+    _, jnp, lax = _get_jax()
+    total = w_count * 128
+    lane = np.arange(total) % 128
+
+    def suffix_body(k, state):
+        X, Y, Z = state
+        sh = 1 << k
+        Xs = jnp.roll(X, -sh, axis=1)
+        Ys = jnp.roll(Y, -sh, axis=1)
+        Zs = jnp.roll(Z, -sh, axis=1)
+        valid = (lane + sh) < 128
+        Xn, Yn, Zn = _padd(X, Y, Z, Xs, Ys, Zs)
+        return (
+            fq.select(valid, Xn, X),
+            fq.select(valid, Yn, Y),
+            fq.select(valid, Zn, Z),
+        )
+
+    X, Y, Z = lax.fori_loop(0, 7, suffix_body, (X, Y, Z))
+
+    def tree_body(k, state):
+        X, Y, Z = state
+        sh = 128 >> (k + 1)
+        Xs = jnp.roll(X, -sh, axis=1)
+        Ys = jnp.roll(Y, -sh, axis=1)
+        Zs = jnp.roll(Z, -sh, axis=1)
+        Xn, Yn, Zn = _padd(X, Y, Z, Xs, Ys, Zs)
+        active = lane < sh
+        return (
+            fq.select(active, Xn, X),
+            fq.select(active, Yn, Y),
+            fq.select(active, Zn, Z),
+        )
+
+    X, Y, Z = lax.fori_loop(0, 7, tree_body, (X, Y, Z))
+    sel = np.arange(w_count) * 128
+    return X[:, sel], Y[:, sel], Z[:, sel]
+
+
+@lru_cache(maxsize=64)
+def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
+    """Jitted MSM kernel for a static (chunks, m, W, R_c) configuration.
+
+    Signature: (xs, ys, valid, digits, log_k, slot_map, fold_masks,
+    canon_src, canon_mask) -> (Xw, Yw, Zw, hazard_count) where xs/ys are
+    (22, n_pad >= chunks*m) Montgomery planes, valid (n_pad,) bool, digits
+    (W, chunks*m) int8 signed in [-128, 127], and the remaining inputs are
+    the MsmPlan's lane-layout tensors (runtime data: no recompile per
+    distribution)."""
+    jax, jnp, lax = _get_jax()
+    from .msm_jax import _padd, fq
+
+    lanes = w_count * 128
+    one_np = np.asarray(FQ_SPEC.one_mont_limbs(), dtype=np.int32)[:, None]
+    ids_np = np.arange(m, dtype=np.float32)
+
+    def kernel(xs, ys, valid, digits, log_k, slot_map, fold_masks,
+               canon_src, canon_mask):
+        accX = jnp.zeros((_L, lanes), jnp.int32)
+        accY = jnp.zeros((_L, lanes), jnp.int32) + one_np
+        accZ = jnp.zeros((_L, lanes), jnp.int32)
+        hazards = jnp.zeros((), jnp.int32)
+
+        def chunk_body(g, state):
+            accX, accY, accZ, hazards = state
+            dch = lax.dynamic_slice(digits, (0, g * m), (w_count, m))
+            dch = dch.astype(jnp.int32)  # int8 upload (4x less tunnel
+            # traffic); widen after the chunk slice
+            px = lax.dynamic_slice(xs, (0, g * m), (_L, m))
+            py = lax.dynamic_slice(ys, (0, g * m), (_L, m))
+            vch = lax.dynamic_slice(valid, (g * m,), (m,))
+
+            # -- build the (R_c, lanes) schedule for this chunk ------------
+            def win_body(w, sched):
+                dw = lax.dynamic_index_in_dim(dch, w, 0, keepdims=False)
+                lk = lax.dynamic_index_in_dim(log_k, w, 0, keepdims=False)
+                smap = lax.dynamic_index_in_dim(slot_map, w, 0, keepdims=False)
+                mag = jnp.abs(dw)
+                bucket = jnp.where(mag > 0, mag - 1, -1)
+                oh = jax.nn.one_hot(bucket, 128, dtype=jnp.float32)
+                cs = jnp.cumsum(oh, axis=0)
+                rank = jnp.take_along_axis(
+                    cs, jnp.clip(bucket, 0, 127)[:, None], axis=1
+                )[:, 0].astype(jnp.int32) - 1
+                # split heavy groups over K_w = 1<<lk lanes (skew defense)
+                step_idx = jnp.where(mag > 0, rank >> lk, -1)
+                sub = rank & ((1 << lk) - 1)
+                lane_in = jnp.where(
+                    mag > 0, (jnp.take(smap, mag) << lk) + sub, -1
+                )
+                m1 = jax.nn.one_hot(step_idx, r_c, dtype=jnp.float32)
+                oh_lane = jax.nn.one_hot(lane_in, 128, dtype=jnp.float32)
+                ids_signed = jnp.where(dw < 0, -(ids_np + 1.0), ids_np + 1.0)
+                # exact one-hot matmul: values < 2^24, single term per slot;
+                # HIGHEST precision keeps the TPU MXU in exact-f32 passes
+                svals = jnp.dot(
+                    m1.T, oh_lane * ids_signed[:, None],
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )  # (R_c, 128): ±(local_idx+1), 0 = empty
+                return lax.dynamic_update_slice(
+                    sched, svals.astype(jnp.int32), (0, w * 128)
+                )
+
+            sched = lax.fori_loop(
+                0, w_count, win_body, jnp.zeros((r_c, lanes), jnp.int32)
+            )
+
+            # -- R_c insertion steps ---------------------------------------
+            def step(s, st):
+                accX, accY, accZ, hz = st
+                row = lax.dynamic_index_in_dim(sched, s, 0, keepdims=False)
+                idx = jnp.clip(jnp.abs(row) - 1, 0, m - 1)
+                take = (row != 0) & jnp.take(vch, idx)
+                gx = jnp.take(px, idx, axis=1)
+                gy = jnp.take(py, idx, axis=1)
+                gy = fq.select(row < 0, fq.neg(gy), gy)
+                accX, accY, accZ, same = _padd_mixed_flag(
+                    fq, accX, accY, accZ, gx, gy, take
+                )
+                return accX, accY, accZ, hz + jnp.sum(same.astype(jnp.int32))
+
+            return lax.fori_loop(0, r_c, step, (accX, accY, accZ, hazards))
+
+        accX, accY, accZ, hazards = lax.fori_loop(
+            0, chunks, chunk_body, (accX, accY, accZ, hazards)
+        )
+
+        # -- fold split lanes back onto slot lane 0 ------------------------
+        def fold_body(t, st):
+            X, Y, Z = st
+            sh = 1 << t
+            Xs = jnp.roll(X, -sh, axis=1)
+            Ys = jnp.roll(Y, -sh, axis=1)
+            Zs = jnp.roll(Z, -sh, axis=1)
+            mask = lax.dynamic_index_in_dim(fold_masks, t, 0, keepdims=False)
+            Xn, Yn, Zn = _padd(X, Y, Z, Xs, Ys, Zs)
+            return (
+                fq.select(mask, Xn, X),
+                fq.select(mask, Yn, Y),
+                fq.select(mask, Zn, Z),
+            )
+
+        accX, accY, accZ = lax.fori_loop(
+            0, 7, fold_body, (accX, accY, accZ)
+        )
+
+        # -- re-canonicalize: lane w*128+b <- digit-magnitude (b+1) group --
+        inf_x = jnp.zeros((_L, lanes), jnp.int32)
+        inf_y = jnp.zeros((_L, lanes), jnp.int32) + one_np
+        inf_z = jnp.zeros((_L, lanes), jnp.int32)
+        accX = fq.select(canon_mask, jnp.take(accX, canon_src, axis=1), inf_x)
+        accY = fq.select(canon_mask, jnp.take(accY, canon_src, axis=1), inf_y)
+        accZ = fq.select(canon_mask, jnp.take(accZ, canon_src, axis=1), inf_z)
+
+        Xw, Yw, Zw = _window_sums(fq, _padd, accX, accY, accZ, w_count)
+        return Xw, Yw, Zw, hazards
+
+    return jax.jit(kernel)
+
+
+@lru_cache(maxsize=8)
+def _compiled_to_mont(n_pad: int):
+    jax, jnp, _ = _get_jax()
+    from ..field.fr_jax import fq_ops
+
+    return jax.jit(lambda a: fq_ops.to_mont(a))
+
+
+# ---------------------------------------------------------------------------
+# Host-facing context
+# ---------------------------------------------------------------------------
+
+def _choose_chunk(n: int) -> int:
+    m = 512
+    while m < n and m < 32768:
+        m *= 2
+    return m
+
+
+class ScheduledMsmContext:
+    """Device-resident base points for repeated scheduled-Pippenger MSMs.
+
+    Build from explicit points (``ScheduledMsmContext(points)``) or from a
+    native SRS handle (:meth:`from_native_srs`) — the latter exports affine
+    coordinates in one native call and never materializes Python points.
+    """
+
+    def __init__(self, points: Optional[Sequence[G1]] = None, *,
+                 affine_bytes: Optional[bytes] = None,
+                 fallback=None):
+        _, jnp, _ = _get_jax()
+        if affine_bytes is not None:
+            raw = np.frombuffer(affine_bytes, dtype=np.uint8).reshape(-1, 64)
+            n = raw.shape[0]
+            xb, yb = raw[:, :32], raw[:, 32:]
+            valid = (raw != 0).any(axis=1)
+        else:
+            n = len(points)
+            xb = np.zeros((n, 32), dtype=np.uint8)
+            yb = np.zeros((n, 32), dtype=np.uint8)
+            valid = np.zeros((n,), dtype=bool)
+            for i, p in enumerate(points):
+                if p.is_zero():
+                    continue
+                ax, ay = p.to_affine()
+                xb[i] = np.frombuffer(ax.to_bytes(32, "little"), np.uint8)
+                yb[i] = np.frombuffer(ay.to_bytes(32, "little"), np.uint8)
+                valid[i] = True
+        self.num_points = n
+        m = _choose_chunk(n)
+        n_pad = (n + m - 1) // m * m
+        self.m = m
+        xs = np.zeros((_L, n_pad), dtype=np.int32)
+        ys = np.zeros((_L, n_pad), dtype=np.int32)
+        xs[:, :n] = bytes_to_limb_planes(xb)
+        ys[:, :n] = bytes_to_limb_planes(yb)
+        vpad = np.zeros((n_pad,), dtype=bool)
+        vpad[:n] = valid
+        conv = _compiled_to_mont(n_pad)
+        self.xs = conv(jnp.asarray(xs))
+        self.ys = conv(jnp.asarray(ys))
+        self.valid = jnp.asarray(vpad)
+        self.fallback = fallback
+        self.hazard_count = 0
+
+    @classmethod
+    def from_native_srs(cls, srs_id: int, n: Optional[int] = None
+                        ) -> "ScheduledMsmContext":
+        from .. import _native
+
+        if n is None:
+            n = _native.srs_size(srs_id)
+        data = _native.srs_export_affine(srs_id, 0, n)
+        return cls(
+            affine_bytes=data,
+            fallback=lambda scalars: _native.srs_msm(srs_id, scalars),
+        )
+
+    def msm(self, scalars) -> G1:
+        """Σ scalars[i] · base[i] over the first len(scalars) base points."""
+        _, jnp, _ = _get_jax()
+        if isinstance(scalars, (bytes, bytearray)):
+            n = len(scalars) // 32
+        else:
+            n = len(scalars)
+        if n == 0:
+            return G1.zero()
+        if n > self.num_points:
+            raise ValueError("more scalars than base points")
+        sb = scalars_to_byte_matrix(scalars, n)
+        d = signed_digits(sb)
+        w_count = d.shape[0]
+        m = self.m
+        chunks = (n + m - 1) // m
+        n_ck = chunks * m
+        if d.shape[1] < n_ck:
+            d = np.pad(d, ((0, 0), (0, n_ck - d.shape[1])))
+        plan = MsmPlan(d, m)
+        if plan.r_exact == 0:
+            return G1.zero()
+        r_c = (plan.r_exact + 63) // 64 * 64
+        kern = _compiled_msm_kernel(chunks, m, w_count, r_c)
+        Xw, Yw, Zw, hz = kern(
+            self.xs, self.ys, self.valid, jnp.asarray(d),
+            jnp.asarray(plan.log_k), jnp.asarray(plan.slot_map),
+            jnp.asarray(plan.fold_masks), jnp.asarray(plan.canon_src),
+            jnp.asarray(plan.canon_mask),
+        )
+        hz = int(hz)
+        if hz:
+            # accumulator==input hazard: result may be wrong — use host path
+            self.hazard_count += hz
+            return self._host_fallback(scalars, n)
+        return _combine_windows(
+            np.asarray(Xw), np.asarray(Yw), np.asarray(Zw)
+        )
+
+    def _host_fallback(self, scalars, n: int) -> G1:
+        if self.fallback is not None:
+            return self.fallback(scalars)
+        from .kzg import msm as host_msm
+        from ..field.limbs import unpack_ints
+
+        xs = unpack_ints(np.asarray(self.xs[:, :n]), FQ_SPEC)
+        ys = unpack_ints(np.asarray(self.ys[:, :n]), FQ_SPEC)
+        valid = np.asarray(self.valid[:n])
+        pts = [
+            G1(x, y, 1) if v else G1.zero()
+            for x, y, v in zip(xs, ys, valid)
+        ]
+        if isinstance(scalars, (bytes, bytearray)):
+            scalars = [
+                Fr(int.from_bytes(scalars[32 * i:32 * i + 32], "little"))
+                for i in range(n)
+            ]
+        return host_msm(pts, list(scalars)[:n])
+
+
+def _combine_windows(Xw: np.ndarray, Yw: np.ndarray, Zw: np.ndarray) -> G1:
+    """Host Horner combine of per-window sums: Σ_w 256^w · P_w."""
+    from ..field.limbs import unpack_ints
+
+    w_count = Xw.shape[1]
+    xs = unpack_ints(Xw, FQ_SPEC)
+    ys = unpack_ints(Yw, FQ_SPEC)
+    zs = unpack_ints(Zw, FQ_SPEC)
+    acc = G1.zero()
+    for w in range(w_count - 1, -1, -1):
+        for _ in range(8):
+            if not acc.is_zero():
+                acc = acc.double()
+        if zs[w] != 0:
+            acc = acc.add(G1(xs[w], ys[w], zs[w]))
+    return acc
+
+
+def msm_scheduled(points: Sequence[G1], scalars: Sequence[Fr]) -> G1:
+    """One-shot scheduled-Pippenger MSM (packs points per call; prefer
+    ScheduledMsmContext for repeated use of the same bases)."""
+    n = min(len(points), len(scalars))
+    if n == 0:
+        return G1.zero()
+    return ScheduledMsmContext(points[:n]).msm(list(scalars)[:n])
