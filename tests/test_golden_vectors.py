@@ -85,3 +85,97 @@ def test_twist_proof_commitment_hashes():
         5050655406805114311956064401970297360049502225235632590017507676474433913569,
     ]
     assert Twist(pp).verify(proof, vp)
+
+
+# ---------------------------------------------------------------------------
+# Whole-proof byte vectors + per-stage transcript digests (round-2 freeze).
+# Captured from this implementation (primitives independently validated in
+# tests/test_rng.py); any serialization, pipeline-order, or challenge change
+# breaks these loudly.
+# ---------------------------------------------------------------------------
+
+_PROOF_VECTORS = {
+    # memory/table size -> (twist bytes len, sha256), (shout len, sha256)
+    4: (
+        (528, "c5716ad1c6ddd41fa89494cd8fd49cc481a673ed3007e3da44d37ffbdc8d3ee0"),
+        (528, "b3ac5d90d5356c8910fdb231ba3d3ea7e358e20c9e0426bd687d9685648c84e9"),
+    ),
+    8: (
+        (664, "f005ef68d9e9840e1b190c0d1a3911d025e07b43f0d9134a74324a20c6f193f5"),
+        (664, "95685f9ab9b298f31ee2e71cee018d3f8752f4914815ed7838bfbab974cd271f"),
+    ),
+    16: (
+        (800, "f871ea9056e5f50103dd0da89a0df33411a8eea99b6a079575633b7265b2708e"),
+        (800, "7ad98c9cee79c36bbde02c112ecced6406eb309905101d2b588370778eac141e"),
+    ),
+}
+
+
+def _golden_trace(size):
+    t = MemoryTrace(size)
+    for i in range(size // 2):
+        t.write(i % size, Fr(42 * (i + 1)))
+        t.read(i % size)
+    return t
+
+
+def test_whole_proof_bytes_frozen():
+    import hashlib
+
+    from tnsh.core.proof_io import shout_proof_to_bytes, twist_proof_to_bytes
+    from tnsh.protocols.shout import LookupTable, Shout
+
+    for log in (2, 3, 4):
+        size = 1 << log
+        pp, vp = setup_params(log)
+        proof = Twist(pp).prove(_golden_trace(size))
+        assert Twist(pp).verify(proof, vp)
+        b = twist_proof_to_bytes(proof)
+        want_len, want_sha = _PROOF_VECTORS[size][0]
+        assert (len(b), hashlib.sha256(b).hexdigest()) == (want_len, want_sha)
+
+        table = LookupTable([Fr(i * i) for i in range(size)])
+        for i in range(size):
+            table.lookup((i * 3) % size)
+        sproof = Shout(pp).prove(table)
+        assert Shout(pp).verify(sproof, vp)
+        sb = shout_proof_to_bytes(sproof)
+        want_len, want_sha = _PROOF_VECTORS[size][1]
+        assert (len(sb), hashlib.sha256(sb).hexdigest()) == (want_len, want_sha)
+
+
+def test_transcript_stage_digests_frozen():
+    """SHA-256 of the verifier transcript state after each pipeline stage of
+    the canonical twist.rs:342-355 trace — pins the exact byte layout every
+    stage appends, not just the final challenges."""
+    import hashlib
+
+    from tnsh.iop.sumcheck import SumCheck
+
+    pp, vp = setup_params(4)
+    trace = MemoryTrace(16)
+    trace.write(0, Fr(42))
+    trace.write(1, Fr(73))
+    trace.read(0)
+    proof = Twist(pp).prove(trace)
+
+    t = Transcript(pp.fiat_shamir_seed)
+    assert hashlib.sha256(t.state_bytes).hexdigest() == (
+        "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    )
+    t.append_field_element(b"address_commitment", proof.address_commitment.hash())
+    t.append_field_element(b"value_commitment", proof.value_commitment.hash())
+    assert hashlib.sha256(t.state_bytes).hexdigest() == (
+        "8b77a5c952f52fefd25944799d72508f008371d48d179b36bdde332b21157ab7"
+    )
+    ok, _ = SumCheck(
+        len(proof.consistency_proof.round_polynomials), Fr(0)
+    ).verify(proof.consistency_proof, t)
+    assert ok
+    assert hashlib.sha256(t.state_bytes).hexdigest() == (
+        "1a73fbfee06408013003ae3629b7880785bffaa6bbe06177969459ddaddaaa01"
+    )
+    t.challenge_field_elements(b"opening_challenges", 2)
+    assert hashlib.sha256(t.state_bytes).hexdigest() == (
+        "20ad0c5950cff927720660390dc8efcbe13c16975b677863f439b3f004e8c54e"
+    )

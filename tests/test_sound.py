@@ -403,3 +403,68 @@ class TestTwistSound:
             bad.openings[0].value + Fr(1), bad.openings[0].proof
         )
         assert not TwistSound.verify(bad, vp)
+
+
+class TestSRSHonesty:
+    """The default deterministic SRS retains a PUBLIC trapdoor (reference
+    parity: utils.rs:62 keeps tau in ProverParams).  These tests document
+    the forgery that admits and exercise the externally-supplied-SRS path
+    that removes it (VERDICT round-1 item 6)."""
+
+    def test_tau_holder_can_forge_under_default_srs(self):
+        from tnsh.field.g1 import G1
+
+        params, vk = setup_multilinear_params(3)
+        assert params.taus is not None  # the public trapdoor
+        table = [Fr(3 * i + 1) for i in range(8)]
+        comm = MultilinearKZG.commit(params, table)
+        point = [Fr(5), Fr(7), Fr(9)]
+        honest = _mle_eval(table, point)
+        lie = Fr((int(honest) + 1) % MODULUS)
+
+        # Knowing taus: C - [lie]_1 = (tau_0 - r_0) * Q_0 with Q_1 = Q_2 = 0.
+        v_tau = int(_mle_eval(table, params.taus))
+        t0, r0 = int(params.taus[0]), int(point[0])
+        q = (v_tau - int(lie)) * pow((t0 - r0) % MODULUS, -1, MODULUS) % MODULUS
+        forged = MLOpeningProof(
+            [G1.generator().scalar_mul(q), G1.zero(), G1.zero()]
+        )
+        assert MultilinearKZG.verify(vk, comm, point, lie, forged), (
+            "the documented trapdoor forgery should verify under the "
+            "deterministic SRS — if this fails, update the docs"
+        )
+        # sanity: the honest value still verifies too
+        val, proof = MultilinearKZG.open(params, table, point)
+        assert val == honest
+        assert MultilinearKZG.verify(vk, comm, point, val, proof)
+
+    def test_external_srs_discards_taus_and_still_proves(self, params):
+        from tnsh.commit.mkzg import (
+            clear_external_multilinear_srs,
+            generate_multilinear_srs,
+            install_external_multilinear_srs,
+        )
+
+        pp, vp = params
+        # "ceremony": explicit taus, immediately discarded by the generator
+        for n_vars in (1, 2, 3, 4):
+            p_ext, vk_ext = generate_multilinear_srs(
+                n_vars, [Fr(1000 + 7 * i) for i in range(n_vars)],
+                keep_taus=False,
+            )
+            assert p_ext.taus is None
+            install_external_multilinear_srs(p_ext, vk_ext)
+        try:
+            table = LookupTable([Fr(i * i) for i in range(4)])
+            for i in range(4):
+                table.lookup(i)
+            proof = ShoutSound.prove(table, pp)
+            assert ShoutSound.verify(proof, table.entries, vp)
+            # tampering still rejected under the external SRS
+            bad = copy.deepcopy(proof)
+            bad.rv_at_rho = MLOpening(
+                Fr(int(bad.rv_at_rho.value) + 1), bad.rv_at_rho.proof
+            )
+            assert not ShoutSound.verify(bad, table.entries, vp)
+        finally:
+            clear_external_multilinear_srs()

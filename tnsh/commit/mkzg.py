@@ -102,20 +102,46 @@ def _basis_scalars(taus: Sequence[Fr]) -> List[int]:
     return table
 
 
-@lru_cache(maxsize=32)
-def setup_multilinear_params(
-    num_vars: int,
-) -> Tuple[MLCommitmentParams, MLVerificationKey]:
-    """Deterministic PST setup for ``num_vars`` variables.
+#: Externally supplied SRS registry: num_vars -> (params, vk).  When set,
+#: ``setup_multilinear_params`` returns the installed SRS instead of the
+#: deterministic one, so sound-mode proofs can run against a ceremony SRS
+#: whose trapdoor nobody holds.
+_EXTERNAL_SRS: dict = {}
 
-    Seeded from the same fixed ``[42u8; 32]`` stream discipline as the
-    reference's ``setup_params`` (utils.rs:81) so prover and verifier derive
-    identical parameters with no interaction.
+
+def install_external_multilinear_srs(
+    params: MLCommitmentParams, vk: MLVerificationKey
+) -> None:
+    """Route ``setup_multilinear_params(params.num_vars)`` to an externally
+    supplied SRS (e.g. from :func:`generate_multilinear_srs` run in a
+    ceremony, with the taus discarded)."""
+    _EXTERNAL_SRS[params.num_vars] = (params, vk)
+
+
+def clear_external_multilinear_srs(num_vars: Optional[int] = None) -> None:
+    if num_vars is None:
+        _EXTERNAL_SRS.clear()
+    else:
+        _EXTERNAL_SRS.pop(num_vars, None)
+
+
+def generate_multilinear_srs(
+    num_vars: int,
+    taus: Sequence[Fr],
+    keep_taus: bool = False,
+) -> Tuple[MLCommitmentParams, MLVerificationKey]:
+    """Build a PST SRS from explicit trapdoor scalars.
+
+    With ``keep_taus=False`` (the honest-ceremony mode) the returned params
+    do NOT retain the taus: after the caller discards its copy, no one can
+    forge openings (see tests/test_sound.py::test_tau_holder_can_forge for
+    the attack the default deterministic setup admits).
     """
     import os
 
-    rng = ChaCha20Rng.from_seed(SETUP_SEED)
-    taus = [fr_rand(rng) for _ in range(num_vars)]
+    taus = [Fr(t) for t in taus]
+    if len(taus) != num_vars:
+        raise CommitmentError("need exactly num_vars trapdoor scalars")
     g1_gen = G1.generator()
     g2_gen = G2.generator()
 
@@ -153,11 +179,72 @@ def setup_multilinear_params(
             off += size
         g2_taus = [g2_gen.scalar_mul(int(t)) for t in taus]
 
-    params = MLCommitmentParams(num_vars=num_vars, basis=basis, taus=taus)
+    params = MLCommitmentParams(
+        num_vars=num_vars, basis=basis, taus=taus if keep_taus else None
+    )
     vk = MLVerificationKey(
         g1_generator=g1_gen, g2_generator=g2_gen, g2_taus=g2_taus
     )
     return params, vk
+
+
+@lru_cache(maxsize=32)
+def _deterministic_multilinear_params(
+    num_vars: int,
+) -> Tuple[MLCommitmentParams, MLVerificationKey]:
+    rng = ChaCha20Rng.from_seed(SETUP_SEED)
+    taus = [fr_rand(rng) for _ in range(num_vars)]
+    return generate_multilinear_srs(num_vars, taus, keep_taus=True)
+
+
+@lru_cache(maxsize=64)
+def _deterministic_vk(num_vars: int) -> MLVerificationKey:
+    import os
+
+    rng = ChaCha20Rng.from_seed(SETUP_SEED)
+    taus = [fr_rand(rng) for _ in range(num_vars)]
+    g2_gen = G2.generator()
+    from .. import _native
+
+    if _native.available and not os.environ.get("TNSH_NO_NATIVE"):
+        g2_taus = [_native.g2_scalar_mul(g2_gen, t) for t in taus]
+    else:
+        g2_taus = [g2_gen.scalar_mul(int(t)) for t in taus]
+    return MLVerificationKey(
+        g1_generator=G1.generator(), g2_generator=g2_gen, g2_taus=g2_taus
+    )
+
+
+def multilinear_verification_key(num_vars: int) -> MLVerificationKey:
+    """The PST verification key alone — O(num_vars) group work, never
+    materializing the 2^num_vars prover SRS.  Sound-mode VERIFIERS use
+    this so verifying a big-cube proof stays logarithmic."""
+    ext = _EXTERNAL_SRS.get(num_vars)
+    if ext is not None:
+        return ext[1]
+    return _deterministic_vk(num_vars)
+
+
+def setup_multilinear_params(
+    num_vars: int,
+) -> Tuple[MLCommitmentParams, MLVerificationKey]:
+    """PST setup for ``num_vars`` variables.
+
+    Default: DETERMINISTIC taus from the fixed ``[42u8; 32]`` stream — the
+    same transparency stance as the reference, which retains tau in
+    ProverParams (utils.rs:62).  **This is reproducibility plumbing, not a
+    trusted setup**: anyone can rederive the taus and forge openings
+    (demonstrated in tests/test_sound.py), so sound-mode proofs under the
+    default SRS bind only against adversaries who do not exploit the public
+    trapdoor.  For real deployments, generate an SRS in a ceremony with
+    :func:`generate_multilinear_srs(keep_taus=False)` and register it with
+    :func:`install_external_multilinear_srs`; this function then serves the
+    external SRS instead.
+    """
+    ext = _EXTERNAL_SRS.get(num_vars)
+    if ext is not None:
+        return ext
+    return _deterministic_multilinear_params(num_vars)
 
 
 class MultilinearKZG:

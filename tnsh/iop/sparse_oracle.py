@@ -1,0 +1,229 @@
+"""Sparse (k, j)-cube sum-check oracle for sound-mode constraints.
+
+The sound Twist/Shout checks are degree-<=3 sums of products over the
+(memory x time) cube (variable 0 = k_0, the fastest bit).  Their dense
+oracles cost O(K*T) memory and work; this oracle exploits the witnesses'
+column structure to run the SAME polynomial in O((K + T) * logK) for the
+k rounds and O(T log T) for the j rounds, producing bit-identical round
+polynomials (locked by tests/test_sound_sparse.py).
+
+Factor kinds per term:
+  ("eqj", table_T)    — j-only multilinear table (constant over k):
+                        eq/lt kernels, wv/ot columns.
+  ("eqk", table_K)    — k-only multilinear table (constant over j):
+                        eq(tau_k, .) kernels, lookup tables.
+  ("colsparse", SparseCubeTable) — few entries per cycle column (ra, wa,
+                        inc one-hots).  A term may use the SAME colsparse
+                        object twice (booleanity ra*ra); distinct colsparse
+                        factors in one term are not supported.
+  ("colinc", IncrementalCubeTable) — column-incremental (Twist's Val).
+
+k-phase rounds: the colsparse factor pins each column's contribution to
+one residual position; eqk/colinc factors are read at that position (the
+colinc "current column" is maintained by an in-order scan, O(K_rem + T)
+per round).  After the k variables bind, every factor collapses to a
+T-sized dense table and the j phase delegates to SumOfProductsOracle
+(native-accelerated).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from ..errors import SumCheckError
+from ..field.fr import MODULUS, Fr
+from .sumcheck import SumOfProductsOracle, SumcheckOracle
+
+_P = MODULUS
+
+
+class SparseCubeOracle(SumcheckOracle):
+    def __init__(self, log_k: int, log_t: int, terms):
+        """``terms``: sequence of ``(coeff, [(kind, payload), ...])``."""
+        self.log_k = log_k
+        self.log_t = log_t
+        self.num_vars = log_k + log_t
+        t_size = 1 << log_t
+        self._round = 0
+        self._k_rem = 1 << log_k
+
+        # dedupe mutable factors by identity so shared tables fold once
+        self._eqk: List[List[int]] = []
+        self._sparse: List[List[List[Tuple[int, int]]]] = []  # cols
+        self._inc: List[List[List[Tuple[int, int]]]] = []     # updates
+        self._inc_cur: List[List[int]] = []
+        seen = {}
+        self._terms = []
+        for coeff, factors in terms:
+            eqj_tabs: List[List[int]] = []
+            eqk_idx: List[int] = []
+            sp_idx = None
+            sp_power = 0
+            inc_idx: List[int] = []
+            for kind, payload in factors:
+                if kind == "eqj":
+                    if len(payload) != t_size:
+                        raise SumCheckError("eqj table size mismatch")
+                    eqj_tabs.append([int(v) % _P for v in payload])
+                elif kind == "eqk":
+                    key = ("eqk", id(payload))
+                    if key not in seen:
+                        if len(payload) != (1 << log_k):
+                            raise SumCheckError("eqk table size mismatch")
+                        seen[key] = len(self._eqk)
+                        self._eqk.append([int(v) % _P for v in payload])
+                    eqk_idx.append(seen[key])
+                elif kind == "colsparse":
+                    key = ("sp", id(payload))
+                    if key not in seen:
+                        seen[key] = len(self._sparse)
+                        self._sparse.append(
+                            [list(c) for c in payload.cols]
+                        )
+                    if sp_idx is not None and sp_idx != seen[key]:
+                        raise SumCheckError(
+                            "one distinct colsparse factor per term"
+                        )
+                    sp_idx = seen[key]
+                    sp_power += 1
+                elif kind == "colinc":
+                    key = ("inc", id(payload))
+                    if key not in seen:
+                        seen[key] = len(self._inc)
+                        self._inc.append(
+                            [list(u) for u in payload.updates]
+                        )
+                        self._inc_cur.append([0] * (1 << log_k))
+                    inc_idx.append(seen[key])
+                else:
+                    raise SumCheckError(f"unknown factor kind {kind}")
+            if sp_idx is None:
+                raise SumCheckError("each term needs a colsparse factor")
+            # per-column weight: coeff * prod of eqj values (static in k)
+            w = [int(coeff) % _P] * t_size
+            for tab in eqj_tabs:
+                w = [a * b % _P for a, b in zip(w, tab)]
+            self._terms.append((w, eqj_tabs, eqk_idx, sp_idx, sp_power,
+                                inc_idx, int(coeff) % _P))
+        self._delegate = None
+
+    # -- k-phase helpers ----------------------------------------------------
+
+    def _k_round_evals(self) -> List[Fr]:
+        t_size = 1 << self.log_t
+        sums = [0, 0, 0, 0]
+        # reset colinc scan state
+        for cur in self._inc_cur:
+            for i in range(len(cur)):
+                cur[i] = 0
+        for j in range(t_size):
+            for (w, _tabs, eqk_idx, sp_idx, sp_power, inc_idx, _c) \
+                    in self._terms:
+                wj = w[j]
+                if wj == 0:
+                    continue
+                for p, c in self._sparse[sp_idx][j]:
+                    rest = p >> 1
+                    if p & 1:
+                        f0, f1 = 0, c
+                    else:
+                        f0, f1 = c, 0
+                    pairs = [(f0, f1)] * sp_power
+                    for ei in eqk_idx:
+                        arr = self._eqk[ei]
+                        pairs.append((arr[2 * rest], arr[2 * rest + 1]))
+                    for ii in inc_idx:
+                        cur = self._inc_cur[ii]
+                        pairs.append((cur[2 * rest], cur[2 * rest + 1]))
+                    for xi in range(4):
+                        prod = wj
+                        for a0, a1 in pairs:
+                            prod = prod * (a0 + xi * (a1 - a0)) % _P
+                        sums[xi] += prod
+            for ii, cur in enumerate(self._inc_cur):
+                for p, d in self._inc[ii][j]:
+                    cur[p] = (cur[p] + d) % _P
+        return [Fr(v % _P) for v in sums]
+
+    def _k_bind(self, challenge: Fr) -> None:
+        r = int(challenge) % _P
+        nr = (1 - r) % _P
+        self._eqk = [
+            [
+                (t[2 * i] + r * (t[2 * i + 1] - t[2 * i])) % _P
+                for i in range(len(t) // 2)
+            ]
+            for t in self._eqk
+        ]
+
+        def fold_cols(cols):
+            out = []
+            for col in cols:
+                acc = {}
+                for p, c in col:
+                    w = c * (r if (p & 1) else nr) % _P
+                    key = p >> 1
+                    acc[key] = (acc.get(key, 0) + w) % _P
+                out.append(list(acc.items()))
+            return out
+
+        self._sparse = [fold_cols(c) for c in self._sparse]
+        self._inc = [fold_cols(u) for u in self._inc]
+        self._k_rem //= 2
+        self._inc_cur = [[0] * self._k_rem for _ in self._inc]
+
+    def _build_delegate(self) -> None:
+        t_size = 1 << self.log_t
+        sp_tables = [
+            [(col[0][1] if col else 0) for col in cols]
+            for cols in self._sparse
+        ]
+        # fully folded sparse columns may have several merged entries at
+        # key 0 only when log_k rounds merged everything -> sum them
+        for si, cols in enumerate(self._sparse):
+            sp_tables[si] = [
+                sum(c for _, c in col) % _P for col in cols
+            ]
+        inc_tables = []
+        for ups in self._inc:
+            cur = 0
+            tab = []
+            for col in ups:
+                tab.append(cur)
+                for _, d in col:
+                    cur = (cur + d) % _P
+            inc_tables.append(tab)
+        terms = []
+        for (w, eqj_tabs, eqk_idx, sp_idx, sp_power, inc_idx, coeff) \
+                in self._terms:
+            c = coeff
+            for ei in eqk_idx:
+                c = c * self._eqk[ei][0] % _P
+            tabs = list(eqj_tabs)
+            tabs += [sp_tables[sp_idx]] * sp_power
+            tabs += [inc_tables[ii] for ii in inc_idx]
+            terms.append((c, tabs))
+        self._delegate = SumOfProductsOracle(self.log_t, terms)
+
+    # -- SumcheckOracle interface -------------------------------------------
+
+    def round_evaluations(self, round_index: int) -> List[Fr]:
+        if self._round < self.log_k:
+            return self._k_round_evals()
+        if self._delegate is None:
+            self._build_delegate()
+        return self._delegate.round_evaluations(round_index - self.log_k)
+
+    def bind(self, challenge: Fr) -> None:
+        if self._round < self.log_k:
+            self._k_bind(challenge)
+        else:
+            if self._delegate is None:
+                self._build_delegate()
+            self._delegate.bind(challenge)
+        self._round += 1
+
+    def final_evaluation(self, challenges: Sequence[Fr]) -> Fr:
+        if self._delegate is None:
+            self._build_delegate()
+        return self._delegate.final_evaluation(challenges)

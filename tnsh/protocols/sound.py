@@ -53,8 +53,20 @@ from ..commit.kzg import KZGCommitmentValue
 from ..commit.mkzg import (
     MLOpeningProof,
     MultilinearKZG,
+    multilinear_verification_key,
     setup_multilinear_params,
 )
+from ..commit.mkzg_sparse import (
+    IncrementalCubeTable,
+    SparseCubeTable,
+    commit_incremental,
+    commit_sparse,
+    cube_params,
+    eq_table_ints,
+    open_incremental,
+    open_sparse,
+)
+from ..iop.sparse_oracle import SparseCubeOracle
 from ..core.params import ProverParams, VerifierParams
 from ..core.transcript import Transcript
 from ..errors import InvalidParametersError
@@ -65,6 +77,26 @@ from .shout import LookupTable
 from .twist import MemoryTrace
 
 _P = MODULUS
+
+#: Cube sizes with at least this many variables route to the sparse prover
+#: (factorized PST commits + SparseCubeOracle): identical proofs, O((K+T)
+#: polylog) prover instead of O(K*T) — the dense path would also have to
+#: materialize a 2^n-point SRS.
+_SPARSE_MIN_VARS = 14
+
+
+def _incremental_mle_eval(table: IncrementalCubeTable, point: Sequence[Fr],
+                          log_k: int) -> Fr:
+    """~table(point) for a column-incremental cube table, O(T log K)."""
+    eqk = eq_table_ints([int(p) for p in point[:log_k]])
+    eqj = eq_table_ints([int(p) for p in point[log_k:]])
+    cur = 0
+    acc = 0
+    for j, ups in enumerate(table.updates):
+        acc = (acc + eqj[j] * cur) % _P
+        for k, d in ups:
+            cur = (cur + d * eqk[k]) % _P
+    return Fr(acc)
 
 
 @dataclass
@@ -139,7 +171,8 @@ class ShoutSound:
     table (contrast reference shout.rs:160-184, whose closure is zero)."""
 
     @staticmethod
-    def prove(table: LookupTable, prover_params: ProverParams) -> ShoutSoundProof:
+    def prove(table: LookupTable, prover_params: ProverParams,
+              sparse: Optional[bool] = None) -> ShoutSoundProof:
         entries = [int(e) for e in table.entries]
         if not entries:
             raise InvalidParametersError("Sound Shout needs a non-empty table")
@@ -150,6 +183,12 @@ class ShoutSound:
         log_k = k_size.bit_length() - 1
         log_t = t_size.bit_length() - 1
         n = log_k + log_t
+        if sparse is None:
+            sparse = n >= _SPARSE_MIN_VARS
+        if sparse:
+            return ShoutSound._prove_sparse(
+                entries, ops, log_k, log_t, prover_params
+            )
 
         ra = [0] * (k_size * t_size)
         rv = [0] * t_size
@@ -201,6 +240,82 @@ class ShoutSound:
         ra1_val, ra1_open = MultilinearKZG.open(params_n, ra, r1)
         ra2_val, ra2_open = MultilinearKZG.open(params_n, ra, r2)
         ra3_val, ra3_open = MultilinearKZG.open(params_n, ra, r3)
+
+        return ShoutSoundProof(
+            log_table=log_k,
+            log_lookups=log_t,
+            ra_commitment=c_ra,
+            rv_commitment=c_rv,
+            read_check=read_proof,
+            bool_check=bool_proof,
+            onehot_check=onehot_proof,
+            rv_at_rho=MLOpening(rv_val, rv_open),
+            ra_at_read=MLOpening(ra1_val, ra1_open),
+            ra_at_bool=MLOpening(ra2_val, ra2_open),
+            ra_at_onehot=MLOpening(ra3_val, ra3_open),
+        )
+
+    @staticmethod
+    def _prove_sparse(entries, ops, log_k: int, log_t: int,
+                      prover_params: ProverParams) -> ShoutSoundProof:
+        """Sparse prover: identical proof bytes to the dense path, but
+        O(T + K) memory and O((K + T) polylog) work — commits are T-point
+        MSMs over the factorized cube SRS (tnsh.commit.mkzg_sparse) and
+        the sum-checks run on SparseCubeOracle."""
+        k_size, t_size = 1 << log_k, 1 << log_t
+        n = log_k + log_t
+        ra = SparseCubeTable(log_k, log_t)
+        rv = [0] * t_size
+        for j in range(t_size):
+            if j < len(ops):
+                idx, val = ops[j].index, int(ops[j].value)
+            else:
+                idx, val = 0, entries[0]
+            ra.set(j, idx, 1)
+            rv[j] = val
+
+        cp = cube_params(log_k, log_t)
+        params_t, _ = setup_multilinear_params(log_t)
+        c_ra = commit_sparse(cp, ra)
+        c_rv = MultilinearKZG.commit(params_t, rv)
+
+        transcript = Transcript(prover_params.fiat_shamir_seed)
+        _shout_bind_statement(transcript, log_k, log_t, entries, c_ra, c_rv)
+
+        rho_read = transcript.challenge_field_elements(b"ssound_rho_read", log_t)
+        claimed_read = _mle_eval(rv, rho_read)
+        oracle = SparseCubeOracle(log_k, log_t, [
+            (1, [("eqj", eq_table(rho_read)), ("colsparse", ra),
+                 ("eqk", entries)]),
+        ])
+        read_proof, r1 = SumCheck(n, claimed_read).prove_with_challenges(
+            oracle, transcript
+        )
+
+        rho_bool = transcript.challenge_field_elements(b"ssound_rho_bool", n)
+        ek = eq_table(rho_bool[:log_k])
+        ej = eq_table(rho_bool[log_k:])
+        oracle = SparseCubeOracle(log_k, log_t, [
+            (1, [("eqk", ek), ("eqj", ej), ("colsparse", ra),
+                 ("colsparse", ra)]),
+            (_P - 1, [("eqk", ek), ("eqj", ej), ("colsparse", ra)]),
+        ])
+        bool_proof, r2 = SumCheck(n, Fr(0)).prove_with_challenges(
+            oracle, transcript
+        )
+
+        rho_one = transcript.challenge_field_elements(b"ssound_rho_onehot", log_t)
+        oracle = SparseCubeOracle(log_k, log_t, [
+            (1, [("eqj", eq_table(rho_one)), ("colsparse", ra)]),
+        ])
+        onehot_proof, r3 = SumCheck(n, Fr(1)).prove_with_challenges(
+            oracle, transcript
+        )
+
+        rv_val, rv_open = MultilinearKZG.open(params_t, rv, rho_read)
+        ra1_val, ra1_open = open_sparse(cp, ra, r1)
+        ra2_val, ra2_open = open_sparse(cp, ra, r2)
+        ra3_val, ra3_open = open_sparse(cp, ra, r3)
 
         return ShoutSoundProof(
             log_table=log_k,
@@ -276,8 +391,8 @@ class ShoutSound:
 
         from ..commit.mkzg import batch_verify_openings
 
-        _, vk_n = setup_multilinear_params(n)
-        _, vk_t = setup_multilinear_params(log_t)
+        vk_n = multilinear_verification_key(n)
+        vk_t = multilinear_verification_key(log_t)
         return batch_verify_openings([
             (vk_t, proof.rv_commitment, rho_read,
              proof.rv_at_rho.value, proof.rv_at_rho.proof),
@@ -339,13 +454,20 @@ class TwistSound:
     (contrast reference twist.rs:186-214, whose closure is zero)."""
 
     @staticmethod
-    def prove(trace: MemoryTrace, prover_params: ProverParams) -> TwistSoundProof:
+    def prove(trace: MemoryTrace, prover_params: ProverParams,
+              sparse: Optional[bool] = None) -> TwistSoundProof:
         k_size = trace.memory_size
         log_k = k_size.bit_length() - 1
         ops = list(trace.operations)
         t_size = _next_power_of_two(max(len(ops), 1))
         log_t = t_size.bit_length() - 1
         n = log_k + log_t
+        if sparse is None:
+            sparse = n >= _SPARSE_MIN_VARS
+        if sparse:
+            return TwistSound._prove_sparse(
+                trace, ops, log_k, log_t, prover_params
+            )
 
         # --- build witness tables by honest simulation -------------------
         ra = [0] * (k_size * t_size)
@@ -474,6 +596,181 @@ class TwistSound:
         for name, point in spec:
             params, tab = tables[name]
             v, pi = MultilinearKZG.open(params, tab, point)
+            openings.append(MLOpening(v, pi))
+
+        return TwistSoundProof(
+            log_memory=log_k,
+            log_ops=log_t,
+            ra_commitment=c_ra,
+            wa_commitment=c_wa,
+            inc_commitment=c_inc,
+            val_commitment=c_val,
+            ot_commitment=c_ot,
+            rv_commitment=c_rv,
+            wv_commitment=c_wv,
+            read_check=proofs["read"],
+            val_check=proofs["val"],
+            inc_check=proofs["inc"],
+            bool_ra_check=proofs["bool_ra"],
+            bool_wa_check=proofs["bool_wa"],
+            bool_ot_check=proofs["bool_ot"],
+            rowsum_ra_check=proofs["rowsum_ra"],
+            rowsum_wa_check=proofs["rowsum_wa"],
+            openings=openings,
+        )
+
+    @staticmethod
+    def _prove_sparse(trace: MemoryTrace, ops, log_k: int, log_t: int,
+                      prover_params: ProverParams) -> TwistSoundProof:
+        """Sparse prover: identical proof bytes to the dense path with
+        O(T + K) memory — ra/wa/inc are column-sparse one-hots, Val is
+        column-incremental (one write per cycle), commits/opens ride the
+        factorized cube SRS, and every cube sum-check runs on
+        SparseCubeOracle (VERDICT round-1 item 5)."""
+        k_size, t_size = 1 << log_k, 1 << log_t
+        n = log_k + log_t
+        ra = SparseCubeTable(log_k, log_t)
+        wa = SparseCubeTable(log_k, log_t)
+        inc = SparseCubeTable(log_k, log_t)
+        val = IncrementalCubeTable(log_k, log_t)
+        ot = [0] * t_size
+        rv = [0] * t_size
+        wv = [0] * t_size
+        mem = [0] * k_size
+        for j in range(t_size):
+            if j < len(ops):
+                op = ops[j]
+                a = op.address
+                if op.is_write:
+                    v = int(op.value) % _P
+                    ot[j] = 1
+                    wa.set(j, a, 1)
+                    wv[j] = v
+                    delta = (v - mem[a]) % _P
+                    inc.set(j, a, delta)
+                    val.add_update(j, a, delta)
+                    mem[a] = v
+                else:
+                    ra.set(j, a, 1)
+                    rv[j] = mem[a]
+            else:
+                ra.set(j, 0, 1)
+                rv[j] = mem[0]
+
+        cp = cube_params(log_k, log_t)
+        params_t, _ = setup_multilinear_params(log_t)
+        c_ra = commit_sparse(cp, ra)
+        c_wa = commit_sparse(cp, wa)
+        c_inc = commit_sparse(cp, inc)
+        c_val = commit_incremental(cp, val)
+        c_ot = MultilinearKZG.commit(params_t, ot)
+        c_rv = MultilinearKZG.commit(params_t, rv)
+        c_wv = MultilinearKZG.commit(params_t, wv)
+
+        transcript = Transcript(prover_params.fiat_shamir_seed)
+        _twist_bind_statement(
+            transcript, log_k, log_t,
+            c_ra, c_wa, c_inc, c_val, c_ot, c_rv, c_wv,
+        )
+
+        proofs = {}
+        points = {}
+
+        # READ: rv~(rho1) = sum eq(rho1,j) ra Val
+        rho1 = transcript.challenge_field_elements(b"tsound_rho_read", log_t)
+        oracle = SparseCubeOracle(log_k, log_t, [
+            (1, [("eqj", eq_table(rho1)), ("colsparse", ra),
+                 ("colinc", val)]),
+        ])
+        proofs["read"], points["read"] = SumCheck(
+            n, _mle_eval(rv, rho1)
+        ).prove_with_challenges(oracle, transcript)
+
+        # VAL: Val~(tau) = sum eq(tau_k,k) lt~(j',tau_j) Inc(k,j')
+        tau = transcript.challenge_field_elements(b"tsound_tau", n)
+        tau_k, tau_j = tau[:log_k], tau[log_k:]
+        oracle = SparseCubeOracle(log_k, log_t, [
+            (1, [("eqk", eq_table(tau_k)),
+                 ("eqj", lt_partial_table(log_t, tau_j)),
+                 ("colsparse", inc)]),
+        ])
+        proofs["val"], points["val"] = SumCheck(
+            n, _incremental_mle_eval(val, tau, log_k)
+        ).prove_with_challenges(oracle, transcript)
+
+        # INC: 0 = sum eq(sigma,(k,j)) (Inc - wa wv + wa Val)
+        sigma = transcript.challenge_field_elements(b"tsound_sigma", n)
+        ek_s = eq_table(sigma[:log_k])
+        ej_s = eq_table(sigma[log_k:])
+        oracle = SparseCubeOracle(log_k, log_t, [
+            (1, [("eqk", ek_s), ("eqj", ej_s), ("colsparse", inc)]),
+            (_P - 1, [("eqk", ek_s), ("eqj", ej_s), ("eqj", wv),
+                      ("colsparse", wa)]),
+            (1, [("eqk", ek_s), ("eqj", ej_s), ("colsparse", wa),
+                 ("colinc", val)]),
+        ])
+        proofs["inc"], points["inc"] = SumCheck(
+            n, Fr(0)
+        ).prove_with_challenges(oracle, transcript)
+
+        # BOOL ra / wa (cube) and ot (time column)
+        for name, tab, lbl in (
+            ("bool_ra", ra, b"tsound_rho_bool_ra"),
+            ("bool_wa", wa, b"tsound_rho_bool_wa"),
+        ):
+            rho = transcript.challenge_field_elements(lbl, n)
+            ek = eq_table(rho[:log_k])
+            ej = eq_table(rho[log_k:])
+            oracle = SparseCubeOracle(log_k, log_t, [
+                (1, [("eqk", ek), ("eqj", ej), ("colsparse", tab),
+                     ("colsparse", tab)]),
+                (_P - 1, [("eqk", ek), ("eqj", ej), ("colsparse", tab)]),
+            ])
+            proofs[name], points[name] = SumCheck(
+                n, Fr(0)
+            ).prove_with_challenges(oracle, transcript)
+        rho6 = transcript.challenge_field_elements(b"tsound_rho_bool_ot", log_t)
+        eq6 = eq_table(rho6)
+        oracle = SumOfProductsOracle(
+            log_t, [(1, [eq6, ot, ot]), (_P - 1, [eq6, ot])]
+        )
+        proofs["bool_ot"], points["bool_ot"] = SumCheck(
+            log_t, Fr(0)
+        ).prove_with_challenges(oracle, transcript)
+
+        # ROW-SUM: sum_k ra(k,j) = 1 - ot(j);  sum_k wa(k,j) = ot(j)
+        rho7 = transcript.challenge_field_elements(b"tsound_rho_rowsum_ra", log_t)
+        oracle = SparseCubeOracle(log_k, log_t, [
+            (1, [("eqj", eq_table(rho7)), ("colsparse", ra)]),
+        ])
+        claimed = Fr((1 - int(_mle_eval(ot, rho7))) % _P)
+        proofs["rowsum_ra"], points["rowsum_ra"] = SumCheck(
+            n, claimed
+        ).prove_with_challenges(oracle, transcript)
+
+        rho8 = transcript.challenge_field_elements(b"tsound_rho_rowsum_wa", log_t)
+        oracle = SparseCubeOracle(log_k, log_t, [
+            (1, [("eqj", eq_table(rho8)), ("colsparse", wa)]),
+        ])
+        proofs["rowsum_wa"], points["rowsum_wa"] = SumCheck(
+            n, _mle_eval(ot, rho8)
+        ).prove_with_challenges(oracle, transcript)
+
+        # --- openings -------------------------------------------------
+        spec = _twist_openings_spec(points, rho1, tau, rho7, rho8, log_k)
+        cube_openers = {
+            "ra": lambda pt: open_sparse(cp, ra, pt),
+            "wa": lambda pt: open_sparse(cp, wa, pt),
+            "inc": lambda pt: open_sparse(cp, inc, pt),
+            "val": lambda pt: open_incremental(cp, val, pt),
+        }
+        t_tables = {"ot": ot, "rv": rv, "wv": wv}
+        openings = []
+        for name, point in spec:
+            if name in cube_openers:
+                v, pi = cube_openers[name](point)
+            else:
+                v, pi = MultilinearKZG.open(params_t, t_tables[name], point)
             openings.append(MLOpening(v, pi))
 
         return TwistSoundProof(
@@ -666,8 +963,8 @@ def _twist_check_finals_and_openings(
     # share G2 terms; see mkzg.batch_verify_openings).
     from ..commit.mkzg import batch_verify_openings
 
-    _, vk_n = setup_multilinear_params(n)
-    _, vk_t = setup_multilinear_params(log_t)
+    vk_n = multilinear_verification_key(n)
+    vk_t = multilinear_verification_key(log_t)
     checks = [
         (vk_t, proof.rv_commitment, rho1, o_rv_rho1),
         (vk_n, proof.ra_commitment, r1, o_ra_r1),
