@@ -58,11 +58,12 @@ def main() -> None:
             "n = 1 << 16\n"
             "vals = [int(v) for v in rng.integers(0, 1 << 62, n)]\n"
             "a = jnp.asarray(pack_ints(vals, FR_SPEC))\n"
-            "r = fr_mont_mul(a, a); jax.block_until_ready(r)\n"
-            "iters = 20\n"
+            "r = fr_mont_mul(a, a); _ = np.asarray(r[:, :4])\n"
+            "iters = 100\n"
             "t0 = time.perf_counter()\n"
-            "for _ in range(iters): r = fr_mont_mul(r, a)\n"
-            "jax.block_until_ready(r)\n"
+            "for _i in range(iters): r = fr_mont_mul(r, a)\n"
+            "_ = np.asarray(r[:, :4])  # fetch: block_until_ready does not\n"
+            "# wait for execution over the axon tunnel (PERF_NOTES round-2)\n"
             "dt = (time.perf_counter() - t0) / iters\n"
             "print(f'{jax.devices()[0].platform} "
             "{n / dt / 1e6:.1f} M muls/s ({dt * 1e3:.2f} ms / {n})')\n"
@@ -83,6 +84,56 @@ def main() -> None:
             )
     except Exception as exc:  # pragma: no cover - diagnostics only
         print(f"[bench] fr_mont_mul skipped: {exc}", file=sys.stderr)
+
+    # Supplementary: scheduled-Pippenger TPU MSM at 2^16 (the round-2
+    # flagship kernel), timed with a real device fetch, vs the native host
+    # MSM on the same SRS.  Subprocess + timeout so a wedged tunnel or a
+    # cold compile cache cannot hang metric emission.
+    try:
+        import subprocess
+
+        probe = (
+            "import random, time, numpy as np, jax\n"
+            "try: jax.config.update('jax_compilation_cache_dir', "
+            "'/tmp/tnsh_jax_cache')\n"
+            "except Exception: pass\n"
+            "from tnsh import _native\n"
+            "from tnsh.field.fr import MODULUS\n"
+            "from tnsh.field.g1 import G1\n"
+            "from tnsh.commit.msm_sched import ScheduledMsmContext\n"
+            "random.seed(7)\n"
+            "n = 1 << 16\n"
+            "sb = b''.join(random.randrange(MODULUS).to_bytes(32, 'little')"
+            " for _ in range(256)) * (n // 256)\n"
+            "sid = _native.srs_create_fixed_base(G1.generator(), sb[:32*n])\n"
+            "ctx = ScheduledMsmContext.from_native_srs(sid)\n"
+            "full = b''.join(random.randrange(MODULUS).to_bytes(32, 'little')"
+            " for _ in range(n))\n"
+            "got = ctx.msm(full)\n"
+            "t0 = time.perf_counter(); got = ctx.msm(full)\n"
+            "tpu = time.perf_counter() - t0\n"
+            "t0 = time.perf_counter(); want = _native.srs_msm(sid, full)\n"
+            "host = time.perf_counter() - t0\n"
+            "assert got == want, 'TPU MSM mismatch'\n"
+            "print(f'{jax.devices()[0].platform} {n/tpu/1e3:.0f}k pts/s "
+            "(host {n/host/1e3:.0f}k pts/s, match)')\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", probe],
+            capture_output=True,
+            timeout=1500,
+            text=True,
+        )
+        line = (out.stdout or "").strip().splitlines()
+        if out.returncode == 0 and line:
+            print(f"[bench] msm_sched 2^16 full[{line[-1]}]", file=sys.stderr)
+        else:
+            print(
+                f"[bench] msm_sched probe failed (rc={out.returncode})",
+                file=sys.stderr,
+            )
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        print(f"[bench] msm_sched skipped: {exc}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -51,14 +51,24 @@ def test_signed_digits_adaptive_width():
 
 def test_plan_splits_heavy_buckets():
     d = np.zeros((4, 256), dtype=np.int8)
-    d[0, :] = 5  # 256 identical digits: one group, K=128 split lanes
+    d[0, :] = 5  # 256 identical digits: one group claims 256 lanes
     plan = MsmPlan(d, 256)
-    assert plan.log_k[0] == 7
-    assert plan.r_exact == 2  # 256 members / 128 lanes
-    d[0, :128] = 3  # two groups -> K=64
+    assert plan.logk_map[0, 5] == 8
+    assert plan.r_exact == 1
+    d[0, :128] = 3  # two groups of 128 -> 128 lanes each, still 1 step
     plan = MsmPlan(d, 256)
-    assert plan.log_k[0] == 6
-    assert plan.r_exact == 2
+    assert plan.logk_map[0, 3] == 7
+    assert plan.logk_map[0, 5] == 7
+    assert plan.r_exact == 1
+
+
+def test_plan_full_width_uniform_keeps_single_lanes():
+    rng = np.random.default_rng(0)
+    d = rng.integers(-128, 128, (32, 4096), dtype=np.int8)
+    plan = MsmPlan(d, 4096)
+    # 32 windows x 128 magnitudes exactly fill the 4096-lane budget
+    assert plan.r_exact >= 1
+    assert int((1 << plan.logk_map[plan.base_map >= 0]).max()) <= 4096
 
 
 @pytest.mark.parametrize(
@@ -109,5 +119,28 @@ def test_native_srs_context_matches():
         ctx = ScheduledMsmContext.from_native_srs(srs_id)
         scalars = [Fr(random.randrange(MODULUS)) for _ in range(32)]
         assert ctx.msm(scalars) == _native.srs_msm(srs_id, scalars)
+    finally:
+        _native.srs_free(srs_id)
+
+
+def test_hybrid_srs_msm_matches_native():
+    _native = pytest.importorskip("tnsh._native")
+    if not _native.available:
+        pytest.skip("native layer unavailable")
+    from tnsh.commit import kzg
+    from tnsh.field.g1 import G1
+
+    random.seed(47)
+    n = 96
+    sb = b"".join(
+        random.randrange(MODULUS).to_bytes(32, "little") for _ in range(n)
+    )
+    srs_id = _native.srs_create_fixed_base(G1.generator(), sb)
+    try:
+        scal = [Fr(random.randrange(MODULUS)) for _ in range(n)]
+        want = _native.srs_msm(srs_id, scal)
+        assert kzg._hybrid_srs_msm(srs_id, scal, n) == want
+        raw = b"".join(int(s).to_bytes(32, "little") for s in scal)
+        assert kzg._hybrid_srs_msm(srs_id, raw, n) == want
     finally:
         _native.srs_free(srs_id)

@@ -89,6 +89,12 @@ def _load() -> None:
             [ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t, c_u8p],
             None,
         ),
+        (
+            "msm_digit_counts",
+            [ctypes.POINTER(ctypes.c_int8), ctypes.c_size_t, ctypes.c_size_t,
+             ctypes.c_size_t, ctypes.POINTER(ctypes.c_int32)],
+            None,
+        ),
         ("srs_msm", [ctypes.c_int, c_u8p, ctypes.c_size_t, c_u8p], None),
         ("srs_free", [ctypes.c_int], None),
         (
@@ -338,6 +344,23 @@ def srs_point(srs_id: int, idx: int):
     raw, out = _out(64)
     _lib.srs_get_point(srs_id, idx, out)
     return _g1_from_bytes(raw.raw)
+
+
+def msm_digit_counts(digits, m: int):
+    """(chunks, w_count, 129) int32 occupancy counts of an (w_count, n_pad)
+    int8 signed-digit matrix, chunked by m columns."""
+    import numpy as np
+
+    d = np.ascontiguousarray(digits, dtype=np.int8)
+    w_count, n_pad = d.shape
+    chunks = n_pad // m
+    out = np.zeros((chunks, w_count, 129), dtype=np.int32)
+    _lib.msm_digit_counts(
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        w_count, n_pad, m,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
 
 
 def srs_export_affine(srs_id: int, start: int = 0, count: int = -1) -> bytes:

@@ -46,8 +46,13 @@ from ..poly.interp import interpolate_on_range
 # Host-side Pippenger MSM (golden path; TPU path in tnsh.commit.msm_jax)
 # ---------------------------------------------------------------------------
 
-#: Minimum MSM size for the TPU scheduled-Pippenger path (msm_sched).
+#: Minimum MSM size for the hybrid host+TPU scheduled-Pippenger path.
 _TPU_MSM_MIN = int(os.environ.get("TNSH_TPU_MSM_MIN", str(1 << 16)))
+#: Fraction of the points dispatched to the TPU in the hybrid split.
+#: Measured on this environment: TPU ≈ 0.6-0.9x the 2-core native MSM, so
+#: the optimal split gives the TPU ~40% and overlaps the host on the rest
+#: (PERF_NOTES round-2/3); 0 = host only, 1 = TPU only.
+_TPU_MSM_FRACTION = float(os.environ.get("TNSH_TPU_MSM_FRACTION", "0.4"))
 _tpu_msm_contexts: dict = {}
 
 
@@ -75,12 +80,38 @@ def _tpu_srs_context(srs_id: int):
     return ctx
 
 
+def _hybrid_srs_msm(srs_id: int, scalars, n_sc: int) -> G1:
+    """Split a large SRS MSM between the TPU (scheduled Pippenger,
+    dispatched async) and the host native Pippenger, overlapping the two
+    engines; results add to the identical group element either would
+    produce alone."""
+    from .. import _native
+
+    split = int(n_sc * min(max(_TPU_MSM_FRACTION, 0.0), 1.0))
+    ctx = _tpu_srs_context(srs_id)
+    if split >= n_sc:
+        return ctx.msm(scalars)
+    if isinstance(scalars, (bytes, bytearray)):
+        tpu_part = scalars[: 32 * split]
+        host_part = bytes(32 * split) + bytes(scalars[32 * split:])
+    else:
+        tpu_part = list(scalars[:split])
+        host_part = [Fr(0)] * split + list(scalars[split:])
+    finish = ctx.msm_async(tpu_part) if split else None
+    host_res = _native.srs_msm(srs_id, host_part)
+    if finish is None:
+        return host_res
+    return host_res.add(finish())
+
+
 def msm(points: Sequence[G1], scalars: Sequence[Fr]) -> G1:
     """Σ s_i · P_i via windowed bucket accumulation.
 
-    Dispatches to the TPU scheduled-Pippenger (tnsh.commit.msm_sched) for
-    large MSMs against native-resident SRS views, else to the C++ native
-    Pippenger (tnsh/_native); all paths produce the identical group element.
+    Large MSMs against native-resident SRS views run as a hybrid: a
+    measured fraction of the points dispatches to the TPU scheduled
+    Pippenger (tnsh.commit.msm_sched) while the host native Pippenger
+    covers the rest concurrently; smaller MSMs go straight to the C++
+    native path.  All paths produce the identical group element.
     """
     from ..core.params import NativeSRS
 
@@ -93,7 +124,7 @@ def msm(points: Sequence[G1], scalars: Sequence[Fr]) -> G1:
             else len(scalars)
         )
         if n_sc >= _TPU_MSM_MIN and _tpu_msm_enabled():
-            return _tpu_srs_context(points.srs_id).msm(scalars)
+            return _hybrid_srs_msm(points.srs_id, scalars, n_sc)
         return _native.srs_msm(points.srs_id, scalars)
     if isinstance(scalars, (bytes, bytearray)):
         from ..field.fr import Fr as _Fr

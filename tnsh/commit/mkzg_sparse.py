@@ -175,8 +175,21 @@ class IncrementalCubeTable:
 # ---------------------------------------------------------------------------
 
 def _msm_scalars(params: CubeParams, level: int, scalars: List[int]) -> G1:
+    import os
+
     data = b"".join(s.to_bytes(32, "little") for s in scalars)
-    return msm(params.j_bases[level], data)
+    base = params.j_bases[level]
+    from ..core.params import NativeSRS
+
+    if isinstance(base, NativeSRS) and not os.environ.get("TNSH_NO_NATIVE"):
+        # pin to the native host MSM: a sound prove issues ~300 of these
+        # T-point MSMs back to back — per-call TPU round trips (29 ms
+        # latency, digit upload, plan) would dominate, and the host MSM is
+        # faster at T <= 2^16 anyway (PERF_NOTES round-2 findings)
+        from .. import _native
+
+        return _native.srs_msm(base.srs_id, data)
+    return msm(base, data)
 
 
 def commit_sparse(params: CubeParams, table: SparseCubeTable

@@ -104,76 +104,103 @@ def signed_digits(sb: np.ndarray) -> np.ndarray:
     return d.astype(np.int8)
 
 
+#: Accumulator-lane budget per kernel: the insert step always runs at this
+#: width, so the VPU stays saturated whether the MSM has 4 or 32 windows.
+TOTAL_LANES = 4096
+#: Max lanes one (window, digit) group may claim (=> 12 fold levels).
+_MAX_GROUP_LANES = 4096
+
+
 class MsmPlan:
     """Host-computed, data-dependent plan for one MSM call.
 
-    Skew defense (bucket splitting): a (window, digit) group with many
-    members — low-entropy top windows of small scalars, repeated Twist
-    addresses, even ALL-identical scalars — would make the per-chunk
-    insertion depth R_c explode if each group owned a single lane.  The
-    plan therefore assigns each group K_w = pow2(128 // support_w) lanes;
-    insert ``rank`` maps to (step = rank >> log2 K_w, sublane = rank & K_w-1),
-    so R_c stays ~= max chunk-group-count / K_w <= m/128 + slack and total
-    work stays n*W lane-adds regardless of the digit distribution.  All
-    plan outputs are runtime tensors — kernel shapes depend only on
-    (chunks, m, W, R_c), so compile count stays bounded.
+    Every (window, |digit|) group is assigned K_g = pow2 accumulator lanes
+    out of a fixed TOTAL_LANES budget; insert ``rank`` maps to
+    (step = rank >> log2 K_g, lane = base_g + (rank & K_g-1)).  K_g sizes
+    come from a binary search equalizing the worst per-chunk step count —
+    heavy groups (repeated Twist addresses, the near-constant top windows
+    of small or consecutive-valued scalars, even ALL-identical scalars)
+    simply claim more lanes, so total work stays ~n*W lane-adds and the
+    step count stays ~n*W/TOTAL_LANES regardless of the digit
+    distribution.  All plan outputs are runtime tensors — kernel shapes
+    depend only on (chunks, m, W, R_c), so compile count stays bounded.
     """
 
     def __init__(self, d: np.ndarray, m: int):
         w_count, n_pad = d.shape
         self.w_count = w_count
         chunks = n_pad // m
-        mags = np.abs(d.astype(np.int16)).astype(np.int32)
-        # one bincount keyed (chunk, window, |digit|) covers both the global
-        # support map and the per-chunk occupancy maxima (the round-1 profile
-        # showed a per-chunk bincount loop costing ~0.8 s at 2^18)
-        offs = (np.arange(w_count, dtype=np.int32) * 129)[:, None]
-        keys = mags + offs  # (W, n_pad)
-        keys = keys.reshape(w_count, chunks, m) + (
-            np.arange(chunks, dtype=np.int32) * (w_count * 129)
-        )[None, :, None]
-        ccnt = np.bincount(
-            keys.ravel(), minlength=chunks * w_count * 129
-        ).reshape(chunks, w_count, 129)
+        # (chunk, window, |digit|) occupancy cube: native counting loop when
+        # available (this host's np.bincount measured ~4 M keys/s — 2+ s at
+        # 2^18x32 windows), numpy fallback otherwise
+        ccnt = None
+        if not os.environ.get("TNSH_NO_NATIVE"):
+            from .. import _native
+
+            if _native.available:
+                ccnt = _native.msm_digit_counts(d, m)
+        if ccnt is None:
+            mags32 = np.abs(d.astype(np.int16)).astype(np.int32)
+            offs32 = (np.arange(w_count, dtype=np.int32) * 129)[:, None]
+            keys = mags32.reshape(w_count, chunks, m) + offs32[:, None] + (
+                np.arange(chunks, dtype=np.int32) * (w_count * 129)
+            )[None, :, None]
+            ccnt = np.bincount(
+                keys.ravel(), minlength=chunks * w_count * 129
+            ).reshape(chunks, w_count, 129)
         ccnt[:, :, 0] = 0
-        gcnt = ccnt.sum(axis=0)
-        self.log_k = np.zeros((w_count,), dtype=np.int32)
-        self.slot_map = np.zeros((w_count, 129), dtype=np.int32)
-        supported = gcnt > 0
+        mc = ccnt.max(axis=0).astype(np.int64)  # (W, 129) worst chunk count
+        supported = mc > 0
+        self.r_exact = 0
+        self.base_map = np.zeros((w_count, 129), dtype=np.int32)
+        self.logk_map = np.zeros((w_count, 129), dtype=np.int32)
+        lanes = TOTAL_LANES
+        self.fold_masks = np.zeros((12, lanes), dtype=bool)
+        self.canon_src = np.zeros((w_count * 128,), dtype=np.int32)
+        self.canon_mask = np.zeros((w_count * 128,), dtype=bool)
+        if not supported.any():
+            return
+
+        def lanes_needed(r: int) -> np.ndarray:
+            k = -(-mc // r)  # ceil
+            k = np.maximum(k, 1)
+            # next_pow2, capped
+            k = (1 << np.ceil(np.log2(k)).astype(np.int64)).astype(np.int64)
+            return np.minimum(np.where(supported, k, 0), _MAX_GROUP_LANES)
+
+        lo, hi = 1, int(mc.max())
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if int(lanes_needed(mid).sum()) <= lanes:
+                hi = mid
+            else:
+                lo = mid + 1
+        r = lo
+        k_g = lanes_needed(r)
+        assert int(k_g.sum()) <= lanes, "lane budget infeasible"
+        self.r_exact = int(np.max(np.where(k_g > 0, -(-mc // np.maximum(k_g, 1)), 0)))
+        # pack groups in (window, digit) order
+        bases = np.zeros_like(k_g)
+        flat_k = k_g.ravel()
+        np.cumsum(flat_k[:-1], out=bases.ravel()[1:])
+        self.base_map = bases.astype(np.int32)
+        self.logk_map = np.where(
+            supported,
+            np.log2(np.maximum(k_g, 1)).astype(np.int64),
+            0,
+        ).astype(np.int32)
+        # fold masks: tree-fold each group's K_g lanes onto its base lane
         for w in range(w_count):
-            v = int(supported[w].sum())
-            if v == 0:
-                continue
-            k = 1
-            while k * 2 <= 128 // v:
-                k *= 2
-            self.log_k[w] = k.bit_length() - 1
-            self.slot_map[w, supported[w]] = np.arange(v, dtype=np.int32)
-        k_w = (1 << self.log_k).astype(np.int64)
-        # exact R_c: max over chunks of ceil(group count / K_w)
-        steps = -(-ccnt // k_w[None, :, None])
-        self.r_exact = int(steps.max()) if steps.size else 0
-        # lane-layout tensors for the aggregation phase
-        lanes = w_count * 128
-        lane_w = np.arange(lanes) // 128
-        lane_in = np.arange(lanes) % 128
-        lane_k = lane_in & (k_w[lane_w] - 1)
-        self.fold_masks = np.zeros((7, lanes), dtype=bool)
-        for t in range(7):
-            sh = 1 << t
-            self.fold_masks[t] = (
-                (sh < k_w[lane_w]) & (lane_k % (2 * sh) == 0)
-            )
-        # canonical magnitude layout: lane w*128+(b) holds digit b+1
-        self.canon_src = np.zeros((lanes,), dtype=np.int32)
-        self.canon_mask = np.zeros((lanes,), dtype=bool)
-        for w in range(w_count):
-            for dmag in range(1, 129):
-                if not supported[w, dmag]:
-                    continue
-                dst = w * 128 + (dmag - 1)
-                src = w * 128 + int(self.slot_map[w, dmag]) * int(k_w[w])
-                self.canon_src[dst] = src
+            for dmag in np.nonzero(supported[w])[0]:
+                base = int(bases[w, dmag])
+                k = int(k_g[w, dmag])
+                for t in range(k.bit_length() - 1):
+                    sh = 1 << t
+                    sel = base + np.arange(0, k, 2 * sh)
+                    self.fold_masks[t, sel] = True
+                # canonical magnitude layout: lane w*128+(b) = digit b+1
+                dst = w * 128 + (int(dmag) - 1)
+                self.canon_src[dst] = base
                 self.canon_mask[dst] = True
 
 
@@ -285,20 +312,21 @@ def _window_sums(fq, _padd, X, Y, Z, w_count: int):
 def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
     """Jitted MSM kernel for a static (chunks, m, W, R_c) configuration.
 
-    Signature: (xs, ys, valid, digits, log_k, slot_map, fold_masks,
-    canon_src, canon_mask) -> (Xw, Yw, Zw, hazard_count) where xs/ys are
-    (22, n_pad >= chunks*m) Montgomery planes, valid (n_pad,) bool, digits
-    (W, chunks*m) int8 signed in [-128, 127], and the remaining inputs are
-    the MsmPlan's lane-layout tensors (runtime data: no recompile per
-    distribution)."""
+    Signature: (xs, ys, digits, base_map, logk_map, fold_masks, canon_src,
+    canon_mask) -> (Xw, Yw, Zw, hazard_count) where xs/ys are
+    (22, n_pad >= chunks*m) Montgomery planes, digits (W, chunks*m) int8
+    signed in [-128, 127] (invalid points' digits pre-zeroed), and the
+    remaining inputs are MsmPlan lane-layout tensors (runtime data: no
+    recompile per digit distribution).  The schedule is built by int32
+    scatter — exact, and measured faster than a one-hot MXU matmul."""
     jax, jnp, lax = _get_jax()
     from .msm_jax import _padd, fq
 
-    lanes = w_count * 128
+    lanes = TOTAL_LANES
     one_np = np.asarray(FQ_SPEC.one_mont_limbs(), dtype=np.int32)[:, None]
-    ids_np = np.arange(m, dtype=np.float32)
+    ids_np = np.arange(1, m + 1, dtype=np.int32)
 
-    def kernel(xs, ys, valid, digits, log_k, slot_map, fold_masks,
+    def kernel(xs, ys, digits, base_map, logk_map, fold_masks,
                canon_src, canon_mask):
         accX = jnp.zeros((_L, lanes), jnp.int32)
         accY = jnp.zeros((_L, lanes), jnp.int32) + one_np
@@ -312,13 +340,12 @@ def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
             # traffic); widen after the chunk slice
             px = lax.dynamic_slice(xs, (0, g * m), (_L, m))
             py = lax.dynamic_slice(ys, (0, g * m), (_L, m))
-            vch = lax.dynamic_slice(valid, (g * m,), (m,))
 
-            # -- build the (R_c, lanes) schedule for this chunk ------------
-            def win_body(w, sched):
+            # -- build the (R_c * lanes) schedule for this chunk -----------
+            def win_body(w, flat_sched):
                 dw = lax.dynamic_index_in_dim(dch, w, 0, keepdims=False)
-                lk = lax.dynamic_index_in_dim(log_k, w, 0, keepdims=False)
-                smap = lax.dynamic_index_in_dim(slot_map, w, 0, keepdims=False)
+                bmap = lax.dynamic_index_in_dim(base_map, w, 0, keepdims=False)
+                kmap = lax.dynamic_index_in_dim(logk_map, w, 0, keepdims=False)
                 mag = jnp.abs(dw)
                 bucket = jnp.where(mag > 0, mag - 1, -1)
                 oh = jax.nn.one_hot(bucket, 128, dtype=jnp.float32)
@@ -326,36 +353,32 @@ def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
                 rank = jnp.take_along_axis(
                     cs, jnp.clip(bucket, 0, 127)[:, None], axis=1
                 )[:, 0].astype(jnp.int32) - 1
-                # split heavy groups over K_w = 1<<lk lanes (skew defense)
-                step_idx = jnp.where(mag > 0, rank >> lk, -1)
-                sub = rank & ((1 << lk) - 1)
-                lane_in = jnp.where(
-                    mag > 0, (jnp.take(smap, mag) << lk) + sub, -1
+                # group (w, mag) owns K = 1<<lk lanes starting at base
+                lk = jnp.take(kmap, mag)
+                step_idx = rank >> lk
+                lane = jnp.take(bmap, mag) + (rank & ((1 << lk) - 1))
+                # masked entries scatter out of bounds -> dropped, so the
+                # in-bounds indices are genuinely unique
+                flat = jnp.where(
+                    mag > 0, step_idx * lanes + lane, r_c * lanes
                 )
-                m1 = jax.nn.one_hot(step_idx, r_c, dtype=jnp.float32)
-                oh_lane = jax.nn.one_hot(lane_in, 128, dtype=jnp.float32)
-                ids_signed = jnp.where(dw < 0, -(ids_np + 1.0), ids_np + 1.0)
-                # exact one-hot matmul: values < 2^24, single term per slot;
-                # HIGHEST precision keeps the TPU MXU in exact-f32 passes
-                svals = jnp.dot(
-                    m1.T, oh_lane * ids_signed[:, None],
-                    preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST,
-                )  # (R_c, 128): ±(local_idx+1), 0 = empty
-                return lax.dynamic_update_slice(
-                    sched, svals.astype(jnp.int32), (0, w * 128)
+                vals = jnp.where(dw < 0, -ids_np, ids_np)
+                return flat_sched.at[flat].set(
+                    vals, mode="drop", unique_indices=True
                 )
 
-            sched = lax.fori_loop(
-                0, w_count, win_body, jnp.zeros((r_c, lanes), jnp.int32)
+            flat_sched = lax.fori_loop(
+                0, w_count, win_body,
+                jnp.zeros((r_c * lanes,), jnp.int32),
             )
+            sched = flat_sched.reshape(r_c, lanes)
 
             # -- R_c insertion steps ---------------------------------------
             def step(s, st):
                 accX, accY, accZ, hz = st
                 row = lax.dynamic_index_in_dim(sched, s, 0, keepdims=False)
                 idx = jnp.clip(jnp.abs(row) - 1, 0, m - 1)
-                take = (row != 0) & jnp.take(vch, idx)
+                take = row != 0
                 gx = jnp.take(px, idx, axis=1)
                 gy = jnp.take(py, idx, axis=1)
                 gy = fq.select(row < 0, fq.neg(gy), gy)
@@ -370,7 +393,7 @@ def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
             0, chunks, chunk_body, (accX, accY, accZ, hazards)
         )
 
-        # -- fold split lanes back onto slot lane 0 ------------------------
+        # -- tree-fold each group's K lanes onto its base lane -------------
         def fold_body(t, st):
             X, Y, Z = st
             sh = 1 << t
@@ -386,18 +409,19 @@ def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
             )
 
         accX, accY, accZ = lax.fori_loop(
-            0, 7, fold_body, (accX, accY, accZ)
+            0, 12, fold_body, (accX, accY, accZ)
         )
 
         # -- re-canonicalize: lane w*128+b <- digit-magnitude (b+1) group --
-        inf_x = jnp.zeros((_L, lanes), jnp.int32)
-        inf_y = jnp.zeros((_L, lanes), jnp.int32) + one_np
-        inf_z = jnp.zeros((_L, lanes), jnp.int32)
-        accX = fq.select(canon_mask, jnp.take(accX, canon_src, axis=1), inf_x)
-        accY = fq.select(canon_mask, jnp.take(accY, canon_src, axis=1), inf_y)
-        accZ = fq.select(canon_mask, jnp.take(accZ, canon_src, axis=1), inf_z)
+        out_lanes = w_count * 128
+        inf_x = jnp.zeros((_L, out_lanes), jnp.int32)
+        inf_y = jnp.zeros((_L, out_lanes), jnp.int32) + one_np
+        inf_z = jnp.zeros((_L, out_lanes), jnp.int32)
+        cX = fq.select(canon_mask, jnp.take(accX, canon_src, axis=1), inf_x)
+        cY = fq.select(canon_mask, jnp.take(accY, canon_src, axis=1), inf_y)
+        cZ = fq.select(canon_mask, jnp.take(accZ, canon_src, axis=1), inf_z)
 
-        Xw, Yw, Zw = _window_sums(fq, _padd, accX, accY, accZ, w_count)
+        Xw, Yw, Zw = _window_sums(fq, _padd, cX, cY, cZ, w_count)
         return Xw, Yw, Zw, hazards
 
     return jax.jit(kernel)
@@ -459,12 +483,10 @@ class ScheduledMsmContext:
         ys = np.zeros((_L, n_pad), dtype=np.int32)
         xs[:, :n] = bytes_to_limb_planes(xb)
         ys[:, :n] = bytes_to_limb_planes(yb)
-        vpad = np.zeros((n_pad,), dtype=bool)
-        vpad[:n] = valid
         conv = _compiled_to_mont(n_pad)
         self.xs = conv(jnp.asarray(xs))
         self.ys = conv(jnp.asarray(ys))
-        self.valid = jnp.asarray(vpad)
+        self.valid_np = valid  # host-side; invalid points get zero digits
         self.fallback = fallback
         self.hazard_count = 0
 
@@ -483,17 +505,28 @@ class ScheduledMsmContext:
 
     def msm(self, scalars) -> G1:
         """Σ scalars[i] · base[i] over the first len(scalars) base points."""
+        return self.msm_async(scalars)()
+
+    def msm_async(self, scalars):
+        """Dispatch the MSM and return a zero-arg finisher.
+
+        The device crunches between dispatch and the finisher call, so a
+        caller can overlap host work (the hybrid host+TPU split in
+        kzg.msm runs the native MSM on the complementary points while
+        this executes)."""
         _, jnp, _ = _get_jax()
         if isinstance(scalars, (bytes, bytearray)):
             n = len(scalars) // 32
         else:
             n = len(scalars)
         if n == 0:
-            return G1.zero()
+            return G1.zero
         if n > self.num_points:
             raise ValueError("more scalars than base points")
         sb = scalars_to_byte_matrix(scalars, n)
         d = signed_digits(sb)
+        if not self.valid_np[:n].all():
+            d[:, np.nonzero(~self.valid_np[:n])[0]] = 0
         w_count = d.shape[0]
         m = self.m
         chunks = (n + m - 1) // m
@@ -502,23 +535,27 @@ class ScheduledMsmContext:
             d = np.pad(d, ((0, 0), (0, n_ck - d.shape[1])))
         plan = MsmPlan(d, m)
         if plan.r_exact == 0:
-            return G1.zero()
-        r_c = (plan.r_exact + 63) // 64 * 64
+            return G1.zero
+        r_c = max((plan.r_exact + 15) // 16 * 16, 16)
         kern = _compiled_msm_kernel(chunks, m, w_count, r_c)
         Xw, Yw, Zw, hz = kern(
-            self.xs, self.ys, self.valid, jnp.asarray(d),
-            jnp.asarray(plan.log_k), jnp.asarray(plan.slot_map),
+            self.xs, self.ys, jnp.asarray(d),
+            jnp.asarray(plan.base_map), jnp.asarray(plan.logk_map),
             jnp.asarray(plan.fold_masks), jnp.asarray(plan.canon_src),
             jnp.asarray(plan.canon_mask),
         )
-        hz = int(hz)
-        if hz:
-            # accumulator==input hazard: result may be wrong — use host path
-            self.hazard_count += hz
-            return self._host_fallback(scalars, n)
-        return _combine_windows(
-            np.asarray(Xw), np.asarray(Yw), np.asarray(Zw)
-        )
+
+        def finish() -> G1:
+            hz_v = int(hz)
+            if hz_v:
+                # accumulator==input hazard: result may be wrong — host path
+                self.hazard_count += hz_v
+                return self._host_fallback(scalars, n)
+            return _combine_windows(
+                np.asarray(Xw), np.asarray(Yw), np.asarray(Zw)
+            )
+
+        return finish
 
     def _host_fallback(self, scalars, n: int) -> G1:
         if self.fallback is not None:
@@ -528,7 +565,7 @@ class ScheduledMsmContext:
 
         xs = unpack_ints(np.asarray(self.xs[:, :n]), FQ_SPEC)
         ys = unpack_ints(np.asarray(self.ys[:, :n]), FQ_SPEC)
-        valid = np.asarray(self.valid[:n])
+        valid = self.valid_np[:n]
         pts = [
             G1(x, y, 1) if v else G1.zero()
             for x, y, v in zip(xs, ys, valid)
