@@ -259,6 +259,13 @@ def open_sparse(params: CubeParams, table: SparseCubeTable,
         out = []
         nr = (1 - r) % _P
         for col in states:
+            if len(col) == 1:  # one-hot column: no merge bookkeeping
+                k, v = col[0]
+                out.append([(k >> 1, v * (r if (k & 1) else nr) % _P)])
+                continue
+            if not col:
+                out.append(col)
+                continue
             acc: Dict[int, int] = {}
             for k, v in col:
                 w = v * (r if (k & 1) else nr) % _P
@@ -271,6 +278,10 @@ def open_sparse(params: CubeParams, table: SparseCubeTable,
         eqk = params.eqk_tables[i + 1]
         out = []
         for col in states:
+            if len(col) == 1:
+                k, v = col[0]
+                out.append((v if (k & 1) else -v) * eqk[k >> 1] % _P)
+                continue
             s = 0
             for k, v in col:
                 # q_i(k', j) = col(1||k') - col(0||k')
@@ -302,6 +313,13 @@ def open_incremental(params: CubeParams, table: IncrementalCubeTable,
         out = []
         nr = (1 - r) % _P
         for ups in states:
+            if len(ups) == 1:  # one write per cycle: no merge bookkeeping
+                k, d = ups[0]
+                out.append([(k >> 1, d * (r if (k & 1) else nr) % _P)])
+                continue
+            if not ups:
+                out.append(ups)
+                continue
             acc: Dict[int, int] = {}
             for k, d in ups:
                 w = d * (r if (k & 1) else nr) % _P
