@@ -47,7 +47,10 @@ from ..poly.interp import interpolate_on_range
 # ---------------------------------------------------------------------------
 
 #: Minimum MSM size for the hybrid host+TPU scheduled-Pippenger path.
-_TPU_MSM_MIN = int(os.environ.get("TNSH_TPU_MSM_MIN", str(1 << 16)))
+#: 2^18: below this the host wins outright AND a cold TPU compile (minutes
+#: over the axon tunnel) would stall latency-sensitive callers — the sound
+#: provers issue hundreds of 2^16-point MSMs back to back.
+_TPU_MSM_MIN = int(os.environ.get("TNSH_TPU_MSM_MIN", str(1 << 18)))
 #: Fraction of the points dispatched to the TPU in the hybrid split.
 #: Measured on this environment: TPU ≈ 0.6-0.9x the 2-core native MSM, so
 #: the optimal split gives the TPU ~40% and overlaps the host on the rest
