@@ -125,6 +125,13 @@ def clear_external_multilinear_srs(num_vars: Optional[int] = None) -> None:
         _EXTERNAL_SRS.pop(num_vars, None)
 
 
+def has_external_multilinear_srs(num_vars: int) -> bool:
+    """True when ``setup_multilinear_params(num_vars)`` serves a ceremony
+    SRS whose trapdoor is unknown — factorized (tau-aware) cube paths must
+    not be used then."""
+    return num_vars in _EXTERNAL_SRS
+
+
 def generate_multilinear_srs(
     num_vars: int,
     taus: Sequence[Fr],

@@ -16,13 +16,22 @@ scalars s_j = column_j~(tau_k-part):
   * column-incremental tables (Val, which changes one cell per cycle):
     s_j evolves by one weighted delta per cycle — O(T log K) total.
 
-Openings fold the k variables first; every k-level quotient table inherits
-the column structure (sparse columns stay sparse, incremental columns stay
-incremental), so each quotient commitment is again one T-point MSM, and
-the j levels are plain dense T-sized folds.  The resulting commitments and
-opening proofs are IDENTICAL group elements to MultilinearKZG over the
-dense table (tests/test_sound_sparse.py locks this), so verifiers and wire
-formats are unchanged.
+Openings fold the j variables FIRST (round-3 backlog item 1): the j-level
+quotients live on shrinking (T/2, T/4, ...) column grids — each commits as
+one factorized MSM over the matching j-suffix SRS with eq(tau_k)-weighted
+column scalars, and those scalars FOLD LINEARLY, so the whole j phase is a
+plain dense fold of the T-vector s_j = <column_j, eq(., tau_k)>.  After the
+j variables bind, the k-residue g(k) = sum_j eq(j, r_j) col_j(k) is a
+K-vector (O(nnz) to build) and the k phase is K-sized dense folds against a
+tiny k-suffix SRS.  Total group work: ~(T + K) point-ops per opening versus
+(logK + 1) * T for the k-first order — ~11x fewer at K=2^10, T=2^16.
+Quotients are emitted in VARIABLE order (k quotients at indices 0..logK-1,
+j quotients after), and PST verification checks the decomposition identity
+e(C - vG, h) = prod_i e(Q_i, [tau_i - r_i]_2), which any peeling order
+satisfies — so the verifier is unchanged; only proof BYTES differ from the
+dense suffix-order MultilinearKZG.open.  The dense sound prover uses
+:func:`open_dense_cube` (same j-first order) so sparse == dense proof bytes
+still holds (tests/test_sound_sparse.py).
 
 Trust model: the factorized scalars require the prover to know tau_k —
 available under the repo's default DETERMINISTIC setup (reference-parity
@@ -36,7 +45,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import lru_cache
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 from ..core.params import SETUP_SEED
 from ..core.rng import ChaCha20Rng, fr_rand
@@ -69,6 +78,8 @@ class CubeParams:
     taus: List[Fr]                       # all log_k + log_t trapdoors
     j_bases: List[object]                # j-suffix SRS levels (NativeSRS or
     #                                      G1 lists), sizes 2^(log_t - l)
+    k_bases: List[object]                # k-suffix SRS levels,
+    #                                      sizes 2^(log_k - l)
     eqk_tables: List[List[int]]          # eq-tables of tau_k suffixes,
     #                                      eqk_tables[i] = eq(. , taus[i:log_k])
     vk: MLVerificationKey
@@ -91,16 +102,18 @@ def cube_params(log_k: int, log_t: int) -> CubeParams:
     from .. import _native
 
     native = _native.available and not os.environ.get("TNSH_NO_NATIVE")
-    j_bases: List[object] = []
-    for level in range(log_t + 1):
-        scalars = eq_table_ints(tau_j[level:])
+
+    def make_base(scalars: List[int]) -> object:
         if native:
             from ..core.params import NativeSRS
 
             seg = b"".join(s.to_bytes(32, "little") for s in scalars)
-            j_bases.append(NativeSRS(_native.srs_create_fixed_base(g1, seg)))
-        else:
-            j_bases.append([g1.scalar_mul(s) for s in scalars])
+            return NativeSRS(_native.srs_create_fixed_base(g1, seg))
+        return [g1.scalar_mul(s) for s in scalars]
+
+    tau_k = [int(t) for t in taus[:log_k]]
+    j_bases = [make_base(eq_table_ints(tau_j[lv:])) for lv in range(log_t + 1)]
+    k_bases = [make_base(eq_table_ints(tau_k[lv:])) for lv in range(log_k + 1)]
     eqk_tables = [
         eq_table_ints([int(t) for t in taus[i:log_k]])
         for i in range(log_k + 1)
@@ -112,7 +125,7 @@ def cube_params(log_k: int, log_t: int) -> CubeParams:
     vk = MLVerificationKey(g1_generator=g1, g2_generator=g2, g2_taus=g2_taus)
     return CubeParams(
         log_k=log_k, log_t=log_t, taus=taus,
-        j_bases=j_bases, eqk_tables=eqk_tables, vk=vk,
+        j_bases=j_bases, k_bases=k_bases, eqk_tables=eqk_tables, vk=vk,
     )
 
 
@@ -174,11 +187,10 @@ class IncrementalCubeTable:
 # Commit
 # ---------------------------------------------------------------------------
 
-def _msm_scalars(params: CubeParams, level: int, scalars: List[int]) -> G1:
+def _msm_over(base: object, scalars: List[int]) -> G1:
     import os
 
     data = b"".join(s.to_bytes(32, "little") for s in scalars)
-    base = params.j_bases[level]
     from ..core.params import NativeSRS
 
     if isinstance(base, NativeSRS) and not os.environ.get("TNSH_NO_NATIVE"):
@@ -198,7 +210,7 @@ def commit_sparse(params: CubeParams, table: SparseCubeTable
     scalars = [
         sum(v * eqk[k] for k, v in col) % _P for col in table.cols
     ]
-    return KZGCommitmentValue(_msm_scalars(params, 0, scalars))
+    return KZGCommitmentValue(_msm_over(params.j_bases[0], scalars))
 
 
 def commit_incremental(params: CubeParams, table: IncrementalCubeTable
@@ -210,143 +222,113 @@ def commit_incremental(params: CubeParams, table: IncrementalCubeTable
         scalars.append(cur)
         for k, d in ups:
             cur = (cur + d * eqk[k]) % _P
-    return KZGCommitmentValue(_msm_scalars(params, 0, scalars))
+    return KZGCommitmentValue(_msm_over(params.j_bases[0], scalars))
 
 
 # ---------------------------------------------------------------------------
-# Open (fold k variables sparsely, then j variables densely)
+# Open (fold j variables first — see module docstring for why)
 # ---------------------------------------------------------------------------
 
-def _open_from_columns(params: CubeParams, col_states, point: Sequence[Fr],
-                       fold_col, col_scalars, col_values
-                       ) -> Tuple[Fr, MLOpeningProof]:
-    """Shared k-then-j opening driver.
+def _open_j_then_k(params: CubeParams, s: List[int], make_g,
+                   point: Sequence[Fr]) -> Tuple[Fr, MLOpeningProof]:
+    """Shared j-first opening driver.
 
-    ``col_states``: per-column sparse state; ``fold_col(state, r, bit_fn)``
-    folds every column entry by one k-variable; ``col_scalars(states, i)``
-    returns the level-i quotient MSM scalars; ``col_values(states)`` the
-    fully-k-folded dense T column values."""
+    ``s``: the T-vector of eq(tau_k)-weighted column scalars
+    s_j = <column_j, eq(., tau_k)> — these fold LINEARLY under j-variable
+    binding, so the j-phase quotient scalars are plain odd-even diffs.
+    ``make_g(eqw)``: builds the k-residue K-vector
+    g(k) = sum_j eqw[j] * column_j(k) from the eq-table of the j-point.
+    Quotients are returned in VARIABLE order (k levels first)."""
     log_k, log_t = params.log_k, params.log_t
-    quotients: List[G1] = []
-    states = col_states
-    for i in range(log_k):
-        quotients.append(
-            _msm_scalars(params, 0, col_scalars(states, i))
-        )
-        r = int(point[i]) % _P
-        states = fold_col(states, r)
-    table = col_values(states)
-    # dense j-phase (identical math to MultilinearKZG.open's folds)
-    for i in range(log_t):
-        half = len(table) // 2
-        diff = [(table[2 * x + 1] - table[2 * x]) % _P for x in range(half)]
-        quotients.append(_msm_scalars(params, i + 1, diff))
-        r = int(point[log_k + i]) % _P
-        table = [
-            (table[2 * x] + r * diff[x]) % _P for x in range(half)
-        ]
-    return Fr(table[0] % _P), MLOpeningProof(quotients)
+    if len(point) != log_k + log_t:
+        raise CommitmentError("opening point has wrong arity")
+    rk = [int(p) % _P for p in point[:log_k]]
+    rj = [int(p) % _P for p in point[log_k:]]
+
+    qj: List[G1] = []
+    cur = s
+    for i, r in enumerate(rj):
+        half = len(cur) // 2
+        diff = [(cur[2 * x + 1] - cur[2 * x]) % _P for x in range(half)]
+        qj.append(_msm_over(params.j_bases[i + 1], diff))
+        cur = [(cur[2 * x] + r * diff[x]) % _P for x in range(half)]
+
+    g = make_g(eq_table_ints(rj))
+    qk: List[G1] = []
+    for i, r in enumerate(rk):
+        half = len(g) // 2
+        diff = [(g[2 * x + 1] - g[2 * x]) % _P for x in range(half)]
+        qk.append(_msm_over(params.k_bases[i + 1], diff))
+        g = [(g[2 * x] + r * diff[x]) % _P for x in range(half)]
+    return Fr(g[0] % _P), MLOpeningProof(qk + qj)
 
 
 def open_sparse(params: CubeParams, table: SparseCubeTable,
                 point: Sequence[Fr]) -> Tuple[Fr, MLOpeningProof]:
-    log_k = params.log_k
-    if len(point) != log_k + params.log_t:
-        raise CommitmentError("opening point has wrong arity")
-    states = [list(col) for col in table.cols]
+    eqk = params.eqk_tables[0]
+    s = [sum(v * eqk[k] for k, v in col) % _P for col in table.cols]
 
-    def fold_col(states, r):
-        out = []
-        nr = (1 - r) % _P
-        for col in states:
-            if len(col) == 1:  # one-hot column: no merge bookkeeping
-                k, v = col[0]
-                out.append([(k >> 1, v * (r if (k & 1) else nr) % _P)])
-                continue
-            if not col:
-                out.append(col)
-                continue
-            acc: Dict[int, int] = {}
+    def make_g(eqw: List[int]) -> List[int]:
+        g = [0] * (1 << params.log_k)
+        for j, col in enumerate(table.cols):
+            w = eqw[j]
             for k, v in col:
-                w = v * (r if (k & 1) else nr) % _P
-                key = k >> 1
-                acc[key] = (acc.get(key, 0) + w) % _P
-            out.append(list(acc.items()))
-        return out
+                g[k] = (g[k] + w * v) % _P
+        return g
 
-    def col_scalars(states, i):
-        eqk = params.eqk_tables[i + 1]
-        out = []
-        for col in states:
-            if len(col) == 1:
-                k, v = col[0]
-                out.append((v if (k & 1) else -v) * eqk[k >> 1] % _P)
-                continue
-            s = 0
-            for k, v in col:
-                # q_i(k', j) = col(1||k') - col(0||k')
-                s += (v if (k & 1) else -v) * eqk[k >> 1]
-            out.append(s % _P)
-        return out
-
-    def col_values(states):
-        return [
-            (sum(v for _, v in col) % _P) if col else 0 for col in states
-        ]
-
-    return _open_from_columns(
-        params, states, point, fold_col, col_scalars, col_values
-    )
+    return _open_j_then_k(params, s, make_g, point)
 
 
 def open_incremental(params: CubeParams, table: IncrementalCubeTable,
                      point: Sequence[Fr]) -> Tuple[Fr, MLOpeningProof]:
-    """Open a column-incremental table: the k-level quotient scalars are
-    prefix sums of folded deltas, one O(T) scan per level."""
-    log_k = params.log_k
-    if len(point) != log_k + params.log_t:
-        raise CommitmentError("opening point has wrong arity")
-    # states: per column, the UPDATE list (folded in k as we go)
-    states = [list(ups) for ups in table.updates]
+    """Open a column-incremental table: the column scalars are prefix sums
+    of weighted deltas (one O(T) scan), and the k-residue weights each delta
+    by the STRICT SUFFIX sum of eq(j, r_j) — cell k holds delta d from the
+    cycle after it was written onward."""
+    eqk = params.eqk_tables[0]
+    s: List[int] = []
+    cur = 0
+    for ups in table.updates:
+        s.append(cur)
+        for k, d in ups:
+            cur = (cur + d * eqk[k]) % _P
 
-    def fold_col(states, r):
-        out = []
-        nr = (1 - r) % _P
-        for ups in states:
-            if len(ups) == 1:  # one write per cycle: no merge bookkeeping
-                k, d = ups[0]
-                out.append([(k >> 1, d * (r if (k & 1) else nr) % _P)])
-                continue
-            if not ups:
-                out.append(ups)
-                continue
-            acc: Dict[int, int] = {}
+    def make_g(eqw: List[int]) -> List[int]:
+        t_size = 1 << params.log_t
+        suffix = [0] * (t_size + 1)
+        for j in range(t_size - 1, -1, -1):
+            suffix[j] = (suffix[j + 1] + eqw[j]) % _P
+        g = [0] * (1 << params.log_k)
+        for j, ups in enumerate(table.updates):
+            w = suffix[j + 1]
             for k, d in ups:
-                w = d * (r if (k & 1) else nr) % _P
-                key = k >> 1
-                acc[key] = (acc.get(key, 0) + w) % _P
-            out.append(list(acc.items()))
-        return out
+                g[k] = (g[k] + w * d) % _P
+        return g
 
-    def col_scalars(states, i):
-        eqk = params.eqk_tables[i + 1]
-        out = []
-        cur = 0
-        for ups in states:
-            out.append(cur)
-            for k, d in ups:
-                cur = (cur + (d if (k & 1) else -d) * eqk[k >> 1]) % _P
-        return out
+    return _open_j_then_k(params, s, make_g, point)
 
-    def col_values(states):
-        out = []
-        cur = 0
-        for ups in states:
-            out.append(cur)
-            for _, d in ups:
-                cur = (cur + d) % _P
-        return out
 
-    return _open_from_columns(
-        params, states, point, fold_col, col_scalars, col_values
-    )
+def open_dense_cube(params: CubeParams, dense: Sequence,
+                    point: Sequence[Fr]) -> Tuple[Fr, MLOpeningProof]:
+    """j-first opening of a DENSE (k, j) table (index = j*K + k) — the
+    dense sound prover's counterpart of :func:`open_sparse`, producing
+    byte-identical proofs to it on equal data.  Requires the deterministic
+    factorized SRS (the scalars need tau_k)."""
+    log_k, log_t = params.log_k, params.log_t
+    k_size = 1 << log_k
+    if len(dense) != (k_size << log_t):
+        raise CommitmentError("dense cube table has wrong size")
+    vals = [int(v) % _P for v in dense]
+    eqk = params.eqk_tables[0]
+    s = [
+        sum(vals[j * k_size + k] * eqk[k] for k in range(k_size)) % _P
+        for j in range(1 << log_t)
+    ]
+
+    def make_g(eqw: List[int]) -> List[int]:
+        return [
+            sum(eqw[j] * vals[j * k_size + k] for j in range(1 << log_t)) % _P
+            for k in range(k_size)
+        ]
+
+    return _open_j_then_k(params, s, make_g, point)

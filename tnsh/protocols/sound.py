@@ -53,6 +53,7 @@ from ..commit.kzg import KZGCommitmentValue
 from ..commit.mkzg import (
     MLOpeningProof,
     MultilinearKZG,
+    has_external_multilinear_srs,
     multilinear_verification_key,
     setup_multilinear_params,
 )
@@ -63,6 +64,7 @@ from ..commit.mkzg_sparse import (
     commit_sparse,
     cube_params,
     eq_table_ints,
+    open_dense_cube,
     open_incremental,
     open_sparse,
 )
@@ -147,6 +149,16 @@ def _lift_k(col: Sequence[int], t_size: int) -> List[int]:
     return list(col) * t_size
 
 
+def _open_cube_dense(params_n, log_k: int, log_t: int, table, point):
+    """Open a dense (k, j) cube table: j-first factorized order under the
+    deterministic SRS (~(T+K) point-ops, byte-identical to the sparse
+    prover), falling back to suffix-order MultilinearKZG.open under an
+    external ceremony SRS (where tau_k is unknown)."""
+    if has_external_multilinear_srs(log_k + log_t):
+        return MultilinearKZG.open(params_n, table, point)
+    return open_dense_cube(cube_params(log_k, log_t), table, point)
+
+
 # ===========================================================================
 # Shout
 # ===========================================================================
@@ -184,7 +196,8 @@ class ShoutSound:
         log_t = t_size.bit_length() - 1
         n = log_k + log_t
         if sparse is None:
-            sparse = n >= _SPARSE_MIN_VARS
+            sparse = (n >= _SPARSE_MIN_VARS
+                      and not has_external_multilinear_srs(n))
         if sparse:
             return ShoutSound._prove_sparse(
                 entries, ops, log_k, log_t, prover_params
@@ -237,9 +250,9 @@ class ShoutSound:
         )
 
         rv_val, rv_open = MultilinearKZG.open(params_t, rv, rho_read)
-        ra1_val, ra1_open = MultilinearKZG.open(params_n, ra, r1)
-        ra2_val, ra2_open = MultilinearKZG.open(params_n, ra, r2)
-        ra3_val, ra3_open = MultilinearKZG.open(params_n, ra, r3)
+        ra1_val, ra1_open = _open_cube_dense(params_n, log_k, log_t, ra, r1)
+        ra2_val, ra2_open = _open_cube_dense(params_n, log_k, log_t, ra, r2)
+        ra3_val, ra3_open = _open_cube_dense(params_n, log_k, log_t, ra, r3)
 
         return ShoutSoundProof(
             log_table=log_k,
@@ -262,6 +275,12 @@ class ShoutSound:
         O(T + K) memory and O((K + T) polylog) work — commits are T-point
         MSMs over the factorized cube SRS (tnsh.commit.mkzg_sparse) and
         the sum-checks run on SparseCubeOracle."""
+        if has_external_multilinear_srs(log_k + log_t):
+            raise InvalidParametersError(
+                "sparse sound proving needs the deterministic factorized "
+                "SRS (tau_k); an external ceremony SRS is installed for "
+                "this variable count — use the dense prover (sparse=False)"
+            )
         k_size, t_size = 1 << log_k, 1 << log_t
         n = log_k + log_t
         ra = SparseCubeTable(log_k, log_t)
@@ -463,7 +482,8 @@ class TwistSound:
         log_t = t_size.bit_length() - 1
         n = log_k + log_t
         if sparse is None:
-            sparse = n >= _SPARSE_MIN_VARS
+            sparse = (n >= _SPARSE_MIN_VARS
+                      and not has_external_multilinear_srs(n))
         if sparse:
             return TwistSound._prove_sparse(
                 trace, ops, log_k, log_t, prover_params
@@ -587,15 +607,16 @@ class TwistSound:
         spec = _twist_openings_spec(
             points, rho1, tau, rho7, rho8, log_k
         )
-        tables = {
-            "ra": (params_n, ra), "wa": (params_n, wa),
-            "inc": (params_n, inc), "val": (params_n, val),
-            "ot": (params_t, ot), "rv": (params_t, rv), "wv": (params_t, wv),
-        }
+        cube_tables = {"ra": ra, "wa": wa, "inc": inc, "val": val}
+        t_tables = {"ot": ot, "rv": rv, "wv": wv}
         openings = []
         for name, point in spec:
-            params, tab = tables[name]
-            v, pi = MultilinearKZG.open(params, tab, point)
+            if name in cube_tables:
+                v, pi = _open_cube_dense(
+                    params_n, log_k, log_t, cube_tables[name], point
+                )
+            else:
+                v, pi = MultilinearKZG.open(params_t, t_tables[name], point)
             openings.append(MLOpening(v, pi))
 
         return TwistSoundProof(
@@ -627,6 +648,12 @@ class TwistSound:
         column-incremental (one write per cycle), commits/opens ride the
         factorized cube SRS, and every cube sum-check runs on
         SparseCubeOracle (VERDICT round-1 item 5)."""
+        if has_external_multilinear_srs(log_k + log_t):
+            raise InvalidParametersError(
+                "sparse sound proving needs the deterministic factorized "
+                "SRS (tau_k); an external ceremony SRS is installed for "
+                "this variable count — use the dense prover (sparse=False)"
+            )
         k_size, t_size = 1 << log_k, 1 << log_t
         n = log_k + log_t
         ra = SparseCubeTable(log_k, log_t)
