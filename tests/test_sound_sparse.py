@@ -79,6 +79,48 @@ class TestTwistSparse:
         assert TwistSound.verify(proof, vp)
 
 
+def test_native_k_phase_matches_python(monkeypatch):
+    """The C++ sco_* oracle must be bit-identical to the pure-Python
+    k-phase loop on every round polynomial, fold, and delegate seed."""
+    from tnsh import _native
+    from tnsh.commit.mkzg_sparse import IncrementalCubeTable, SparseCubeTable
+    from tnsh.iop.sparse_oracle import SparseCubeOracle
+
+    if not _native.available:
+        pytest.skip("native layer unavailable")
+    random.seed(11)
+    log_k, log_t = 3, 5
+    sp = SparseCubeTable(log_k, log_t)
+    inc = IncrementalCubeTable(log_k, log_t)
+    for j in range(1 << log_t):
+        sp.set(j, random.randrange(1 << log_k), random.randrange(MODULUS))
+        if j % 2:
+            inc.add_update(
+                j, random.randrange(1 << log_k), random.randrange(MODULUS)
+            )
+    eqj = [random.randrange(MODULUS) for _ in range(1 << log_t)]
+    eqk = [random.randrange(MODULUS) for _ in range(1 << log_k)]
+    terms = [
+        (3, [("eqj", eqj), ("colsparse", sp), ("colinc", inc)]),
+        (MODULUS - 2, [("eqk", eqk), ("colsparse", sp), ("colsparse", sp)]),
+    ]
+    monkeypatch.delenv("TNSH_NO_NATIVE", raising=False)
+    a = SparseCubeOracle(log_k, log_t, terms)
+    monkeypatch.setenv("TNSH_NO_NATIVE", "1")
+    b = SparseCubeOracle(log_k, log_t, terms)
+    assert a._nat is not None and b._nat is None
+    challenges = [Fr(1234567 + 31 * i) for i in range(log_k + log_t)]
+    for rnd, r in enumerate(challenges):
+        ea = a.round_evaluations(rnd)
+        eb = b.round_evaluations(rnd)
+        assert [int(x) for x in ea] == [int(x) for x in eb], f"round {rnd}"
+        a.bind(r)
+        b.bind(r)
+    assert int(a.final_evaluation(challenges)) == (
+        int(b.final_evaluation(challenges))
+    )
+
+
 class TestShoutSparse:
     def test_sparse_matches_dense_bytes(self, params):
         pp, vp = params

@@ -1468,6 +1468,298 @@ void sop_free(int id) {
 
 }  // extern "C"
 
+// ---- sparse (k, j)-cube sum-check oracle: native k-phase ----
+//
+// Backs tnsh.iop.sparse_oracle.SparseCubeOracle's k rounds (round-3 backlog
+// item 2): per round the prover walks every cycle column j, and for each
+// term evaluates a product of <=4 linear forms at X = 0..3, pinned to the
+// column's sparse residual positions; column-incremental factors (Twist's
+// Val) are read from a running prefix state.  Everything lives natively in
+// Montgomery form; Python sees 4 field elements per round and, after the
+// last k bind, the folded T-sized residues (sco_export) that seed the dense
+// j-phase delegate.  Bit-identical to the pure-Python loop (exact field
+// arithmetic; addition order is irrelevant).
+
+struct ScoEntry {
+    int32_t pos;
+    u64 val[4];  // Montgomery
+};
+
+struct ScoSparse {
+    std::vector<int32_t> off;  // t_size + 1 column offsets
+    std::vector<ScoEntry> ent;
+};
+
+struct ScoTerm {
+    int sp_idx;
+    int sp_power;
+    std::vector<int> eqk_idx;
+    std::vector<int> inc_idx;
+};
+
+struct ScoState {
+    int log_k, log_t;
+    size_t k_rem, t_size;
+    std::vector<std::vector<u64>> eqk;      // 4*k_rem limbs, Montgomery
+    std::vector<ScoSparse> sp;
+    std::vector<ScoSparse> inc;             // update lists
+    std::vector<std::vector<u64>> inc_cur;  // scan state, 4*k_rem limbs
+    std::vector<ScoTerm> terms;
+    std::vector<std::vector<u64>> weights;  // per term: 4*t_size, Montgomery
+};
+
+static std::vector<ScoState *> g_sco_store;
+
+static void sco_parse_csr(std::vector<ScoSparse> &out, const int32_t *offs,
+                          const int32_t *pos, const uint8_t *vals,
+                          size_t n_tabs, size_t t_size) {
+    out.resize(n_tabs);
+    for (size_t t = 0; t < n_tabs; t++) {
+        const int32_t *off = offs + t * (t_size + 1);
+        out[t].off.assign(off, off + t_size + 1);
+        int32_t lo = off[0], hi = off[t_size];
+        out[t].ent.resize(hi - lo);
+        for (int32_t e = lo; e < hi; e++) {
+            ScoEntry &E = out[t].ent[e - lo];
+            E.pos = pos[e];
+            u64 raw[4];
+            bytes_to_limbs(raw, vals + 32 * (size_t)e);
+            to_mont(E.val, raw, FR);
+        }
+        if (lo) {  // rebase offsets to this table's entry array
+            for (auto &o : out[t].off) o -= lo;
+        }
+    }
+}
+
+extern "C" {
+
+// eqk_blob: n_eqk * 2^log_k * 32 B.  Sparse/inc tables arrive as global
+// CSR: per-table offset rows of t_size+1 int32 indexing one shared
+// position/value stream.  weights_blob: n_terms * t_size * 32 B column
+// weights (coeff * prod of eqj factors, precombined by Python).  term_spec
+// flat stream per term: [sp_idx, sp_power, n_eqk, e..., n_inc, i...].
+int sco_create(int log_k, int log_t, const uint8_t *eqk_blob, size_t n_eqk,
+               const int32_t *sp_off, const int32_t *sp_pos,
+               const uint8_t *sp_val, size_t n_sp, const int32_t *inc_off,
+               const int32_t *inc_pos, const uint8_t *inc_val, size_t n_inc,
+               const uint8_t *weights_blob, const int32_t *term_spec,
+               size_t n_terms) {
+    ScoState *st = new ScoState();
+    st->log_k = log_k;
+    st->log_t = log_t;
+    st->k_rem = (size_t)1 << log_k;
+    st->t_size = (size_t)1 << log_t;
+    st->eqk.resize(n_eqk);
+    for (size_t t = 0; t < n_eqk; t++) {
+        st->eqk[t].resize(4 * st->k_rem);
+        for (size_t i = 0; i < st->k_rem; i++) {
+            u64 raw[4];
+            bytes_to_limbs(raw, eqk_blob + 32 * (t * st->k_rem + i));
+            to_mont(&st->eqk[t][4 * i], raw, FR);
+        }
+    }
+    sco_parse_csr(st->sp, sp_off, sp_pos, sp_val, n_sp, st->t_size);
+    sco_parse_csr(st->inc, inc_off, inc_pos, inc_val, n_inc, st->t_size);
+    st->inc_cur.assign(n_inc, std::vector<u64>(4 * st->k_rem, 0));
+    size_t off = 0;
+    st->weights.resize(n_terms);
+    for (size_t t = 0; t < n_terms; t++) {
+        ScoTerm term;
+        term.sp_idx = term_spec[off++];
+        term.sp_power = term_spec[off++];
+        int ne = term_spec[off++];
+        for (int i = 0; i < ne; i++) term.eqk_idx.push_back(term_spec[off++]);
+        int ni = term_spec[off++];
+        for (int i = 0; i < ni; i++) term.inc_idx.push_back(term_spec[off++]);
+        st->terms.push_back(term);
+        st->weights[t].resize(4 * st->t_size);
+        for (size_t j = 0; j < st->t_size; j++) {
+            u64 raw[4];
+            bytes_to_limbs(raw, weights_blob + 32 * (t * st->t_size + j));
+            to_mont(&st->weights[t][4 * j], raw, FR);
+        }
+    }
+    g_sco_store.push_back(st);
+    return (int)g_sco_store.size() - 1;
+}
+
+// out: 4 * 32 B — the round polynomial evaluations g(0..3), standard form.
+void sco_round_evals(int id, uint8_t *out) {
+    ScoState *st = g_sco_store[id];
+    for (auto &cur : st->inc_cur) std::fill(cur.begin(), cur.end(), 0);
+    u64 sums[4][4] = {{0}};
+    size_t nt = st->terms.size();
+    for (size_t j = 0; j < st->t_size; j++) {
+        for (size_t t = 0; t < nt; t++) {
+            const u64 *w = &st->weights[t][4 * j];
+            if (is_zero4(w)) continue;
+            const ScoTerm &term = st->terms[t];
+            const ScoSparse &S = st->sp[term.sp_idx];
+            for (int32_t e = S.off[j]; e < S.off[j + 1]; e++) {
+                int32_t p = S.ent[e].pos;
+                const u64 *c = S.ent[e].val;
+                size_t rest = (size_t)(p >> 1) * 8;  // limb offset of pair
+                u64 v[4][4];
+                if (p & 1) {  // (0, c, 2c, 3c)
+                    memset(v[0], 0, 32);
+                    memcpy(v[1], c, 32);
+                    add_mod(v[2], c, c, FR);
+                    add_mod(v[3], v[2], c, FR);
+                } else {  // (c, 0, -c, -2c)
+                    memcpy(v[0], c, 32);
+                    memset(v[1], 0, 32);
+                    neg_mod(v[2], c, FR);
+                    add_mod(v[3], v[2], v[2], FR);
+                }
+                if (term.sp_power == 2)
+                    for (int x = 0; x < 4; x++) msq(v[x], v[x], FR);
+                for (int x = 0; x < 4; x++) mmul(v[x], v[x], w, FR);
+                for (int ei : term.eqk_idx) {
+                    const u64 *a0 = &st->eqk[ei][rest];
+                    const u64 *a1 = a0 + 4;
+                    u64 d[4], x2[4], x3[4];
+                    sub_mod(d, a1, a0, FR);
+                    add_mod(x2, a1, d, FR);
+                    add_mod(x3, x2, d, FR);
+                    mmul(v[0], v[0], a0, FR);
+                    mmul(v[1], v[1], a1, FR);
+                    mmul(v[2], v[2], x2, FR);
+                    mmul(v[3], v[3], x3, FR);
+                }
+                for (int ii : term.inc_idx) {
+                    const u64 *a0 = &st->inc_cur[ii][rest];
+                    const u64 *a1 = a0 + 4;
+                    u64 d[4], x2[4], x3[4];
+                    sub_mod(d, a1, a0, FR);
+                    add_mod(x2, a1, d, FR);
+                    add_mod(x3, x2, d, FR);
+                    mmul(v[0], v[0], a0, FR);
+                    mmul(v[1], v[1], a1, FR);
+                    mmul(v[2], v[2], x2, FR);
+                    mmul(v[3], v[3], x3, FR);
+                }
+                for (int x = 0; x < 4; x++)
+                    add_mod(sums[x], sums[x], v[x], FR);
+            }
+        }
+        for (size_t ii = 0; ii < st->inc.size(); ii++) {
+            const ScoSparse &U = st->inc[ii];
+            u64 *cur = st->inc_cur[ii].data();
+            for (int32_t e = U.off[j]; e < U.off[j + 1]; e++) {
+                u64 *slot = cur + 4 * (size_t)U.ent[e].pos;
+                add_mod(slot, slot, U.ent[e].val, FR);
+            }
+        }
+    }
+    for (int x = 0; x < 4; x++) {
+        u64 s[4];
+        from_mont(s, sums[x], FR);
+        limbs_to_bytes(out + 32 * x, s);
+    }
+}
+
+static void sco_fold_sparse(ScoSparse &S, const u64 r[4], const u64 nr[4],
+                            size_t t_size) {
+    std::vector<int32_t> noff(t_size + 1);
+    std::vector<ScoEntry> nent;
+    nent.reserve(S.ent.size());
+    noff[0] = 0;
+    for (size_t j = 0; j < t_size; j++) {
+        size_t start = nent.size();
+        for (int32_t e = S.off[j]; e < S.off[j + 1]; e++) {
+            int32_t np = S.ent[e].pos >> 1;
+            u64 w[4];
+            mmul(w, S.ent[e].val, (S.ent[e].pos & 1) ? r : nr, FR);
+            bool merged = false;
+            for (size_t q = start; q < nent.size(); q++) {
+                if (nent[q].pos == np) {
+                    add_mod(nent[q].val, nent[q].val, w, FR);
+                    merged = true;
+                    break;
+                }
+            }
+            if (!merged) {
+                ScoEntry ne;
+                ne.pos = np;
+                memcpy(ne.val, w, 32);
+                nent.push_back(ne);
+            }
+        }
+        noff[j + 1] = (int32_t)nent.size();
+    }
+    S.off.swap(noff);
+    S.ent.swap(nent);
+}
+
+void sco_bind(int id, const uint8_t *r_bytes) {
+    ScoState *st = g_sco_store[id];
+    u64 raw[4], r[4], nr[4];
+    bytes_to_limbs(raw, r_bytes);
+    to_mont(r, raw, FR);
+    sub_mod(nr, FR.one, r, FR);
+    size_t half = st->k_rem / 2;
+    for (auto &tab : st->eqk) {
+        std::vector<u64> nxt(4 * half);
+        for (size_t i = 0; i < half; i++) {
+            u64 d[4], m[4];
+            sub_mod(d, &tab[8 * i + 4], &tab[8 * i], FR);
+            mmul(m, r, d, FR);
+            add_mod(&nxt[4 * i], &tab[8 * i], m, FR);
+        }
+        tab.swap(nxt);
+    }
+    for (auto &S : st->sp) sco_fold_sparse(S, r, nr, st->t_size);
+    for (auto &U : st->inc) sco_fold_sparse(U, r, nr, st->t_size);
+    st->k_rem = half;
+    st->inc_cur.assign(st->inc.size(), std::vector<u64>(4 * half, 0));
+}
+
+// After the k binds: sp_out = per sparse table the T column sums,
+// inc_out = per inc table the T-entry prefix table, eqk_out = per eqk
+// table its (fully folded) first element.  All standard form, 32 B each.
+void sco_export(int id, uint8_t *sp_out, uint8_t *inc_out,
+                uint8_t *eqk_out) {
+    ScoState *st = g_sco_store[id];
+    size_t t_size = st->t_size;
+    for (size_t t = 0; t < st->sp.size(); t++) {
+        const ScoSparse &S = st->sp[t];
+        for (size_t j = 0; j < t_size; j++) {
+            u64 acc[4] = {0, 0, 0, 0};
+            for (int32_t e = S.off[j]; e < S.off[j + 1]; e++)
+                add_mod(acc, acc, S.ent[e].val, FR);
+            u64 s[4];
+            from_mont(s, acc, FR);
+            limbs_to_bytes(sp_out + 32 * (t * t_size + j), s);
+        }
+    }
+    for (size_t t = 0; t < st->inc.size(); t++) {
+        const ScoSparse &U = st->inc[t];
+        u64 cur[4] = {0, 0, 0, 0};
+        for (size_t j = 0; j < t_size; j++) {
+            u64 s[4];
+            from_mont(s, cur, FR);
+            limbs_to_bytes(inc_out + 32 * (t * t_size + j), s);
+            for (int32_t e = U.off[j]; e < U.off[j + 1]; e++)
+                add_mod(cur, cur, U.ent[e].val, FR);
+        }
+    }
+    for (size_t t = 0; t < st->eqk.size(); t++) {
+        u64 s[4];
+        from_mont(s, &st->eqk[t][0], FR);
+        limbs_to_bytes(eqk_out + 32 * t, s);
+    }
+}
+
+void sco_free(int id) {
+    if (id >= 0 && id < (int)g_sco_store.size() && g_sco_store[id]) {
+        delete g_sco_store[id];
+        g_sco_store[id] = nullptr;
+    }
+}
+
+}  // extern "C"
+
 // ---- G1 ----
 
 extern "C" void g1_scalar_mul_c(const uint8_t *point, const uint8_t *scalar,
