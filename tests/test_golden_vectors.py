@@ -144,6 +144,55 @@ def test_whole_proof_bytes_frozen():
         assert (len(sb), hashlib.sha256(sb).hexdigest()) == (want_len, want_sha)
 
 
+_SOUND_PROOF_VECTORS = {
+    # memory/table size -> (twist-sound len, sha256), (shout-sound len, sha256)
+    # Locks the sound wire format incl. the j-first cube opening order
+    # (tnsh/commit/mkzg_sparse.py) — any change to the constraint pipeline,
+    # challenge labels, or quotient decomposition breaks these loudly.
+    4: (
+        (7024, "ca8e1864b6aaf8572d26bb6dee5da4a60ab43f5580b689740931c95590b3d937"),
+        (2448, "ff8f0ab2730f25a438e9da784a8863539c5c6126e2d33f0e45842f0bc40f3db7"),
+    ),
+    8: (
+        (9928, "fe78d15bd18d4a0650855444d04c3325ea006320d3b279371d5dc4ae62612e4c"),
+        (3488, "88461984db1d2ef7112128dc4950f29a577cf98223ac470c672663053f9f7ee3"),
+    ),
+    16: (
+        (12832, "814a0c73a2a2ab049713d987f8b7017c3e19f186a93f1d255a9f76ca5b1069cc"),
+        (4528, "6390cb66a1c65a093d5230f93bd31b8ea297347d94ded4b5830d2ecc387039fe"),
+    ),
+}
+
+
+def test_sound_proof_bytes_frozen():
+    import hashlib
+
+    from tnsh.core.proof_io import (
+        shout_sound_proof_to_bytes,
+        twist_sound_proof_to_bytes,
+    )
+    from tnsh.protocols.shout import LookupTable
+    from tnsh.protocols.sound import ShoutSound, TwistSound
+
+    for log in (2, 3, 4):
+        size = 1 << log
+        pp, vp = setup_params(log)
+        proof = TwistSound.prove(_golden_trace(size), pp)
+        assert TwistSound.verify(proof, vp)
+        b = twist_sound_proof_to_bytes(proof)
+        want_len, want_sha = _SOUND_PROOF_VECTORS[size][0]
+        assert (len(b), hashlib.sha256(b).hexdigest()) == (want_len, want_sha)
+
+        table = LookupTable([Fr(i * i) for i in range(size)])
+        for i in range(size):
+            table.lookup((i * 3) % size)
+        sproof = ShoutSound.prove(table, pp)
+        assert ShoutSound.verify(sproof, table.entries, vp)
+        sb = shout_sound_proof_to_bytes(sproof)
+        want_len, want_sha = _SOUND_PROOF_VECTORS[size][1]
+        assert (len(sb), hashlib.sha256(sb).hexdigest()) == (want_len, want_sha)
+
+
 def test_transcript_stage_digests_frozen():
     """SHA-256 of the verifier transcript state after each pipeline stage of
     the canonical twist.rs:342-355 trace — pins the exact byte layout every

@@ -111,6 +111,7 @@ def _load() -> None:
         (
             "sco_create",
             [ctypes.c_int, ctypes.c_int, c_u8p, ctypes.c_size_t,
+             c_u8p, ctypes.c_size_t,
              ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
              c_u8p, ctypes.c_size_t,
              ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -120,7 +121,7 @@ def _load() -> None:
         ),
         ("sco_round_evals", [ctypes.c_int, c_u8p], None),
         ("sco_bind", [ctypes.c_int, c_u8p], None),
-        ("sco_export", [ctypes.c_int, c_u8p, c_u8p, c_u8p], None),
+        ("sco_make_sop", [ctypes.c_int], ctypes.c_int),
         ("sco_free", [ctypes.c_int], None),
     ]:
         fn = getattr(lib, name)
@@ -475,43 +476,44 @@ def _sco_csr(tabs, t_size: int):
     """Global CSR arrays for a list of per-column entry lists."""
     offs: List[int] = []
     poss: List[int] = []
-    vals: List[bytes] = []
+    vals: List[int] = []
     total = 0
     for cols in tabs:
         offs.append(total)
         for col in cols:
             for p, v in col:
                 poss.append(p)
-                vals.append(int(v).to_bytes(32, "little"))
+                vals.append(int(v))
             total += len(col)
             offs.append(total)
         # each table contributes t_size+1 offsets (incl. its leading one)
     off_arr = (ctypes.c_int32 * len(offs))(*offs)
     pos_arr = (ctypes.c_int32 * max(len(poss), 1))(*poss)
-    return off_arr, pos_arr, b"".join(vals)
+    return off_arr, pos_arr, _fr_vec_bytes(vals)
 
 
-def sco_create(log_k: int, log_t: int, eqk_tables, sparse_tabs, inc_tabs,
-               weights, term_spec) -> int:
+def sco_create(log_k: int, log_t: int, eqk_tables, eqj_tables, sparse_tabs,
+               inc_tabs, coeffs, term_spec) -> int:
     """Create a native sparse-cube oracle handle.
 
-    ``eqk_tables``: list of 2^log_k-int lists; ``sparse_tabs``/``inc_tabs``:
-    lists of per-column [(pos, value), ...] lists (2^log_t columns each);
-    ``weights``: per term a 2^log_t-int column-weight list; ``term_spec``:
-    per term ``(sp_idx, sp_power, eqk_idx list, inc_idx list)``."""
+    ``eqk_tables``: list of 2^log_k-int lists; ``eqj_tables``: list of
+    2^log_t-int lists; ``sparse_tabs``/``inc_tabs``: lists of per-column
+    ``[(pos, value), ...]`` lists (2^log_t columns each); ``coeffs``: per
+    term an int; ``term_spec``: per term ``(sp_idx, sp_power, eqj_idx list,
+    eqk_idx list, inc_idx list)``.  Per-column term weights are computed
+    natively."""
     t_size = 1 << log_t
-    eqk_blob = b"".join(
-        b"".join(int(v).to_bytes(32, "little") for v in t) for t in eqk_tables
-    )
+    eqk_blob = b"".join(_fr_vec_bytes(t) for t in eqk_tables)
+    eqj_blob = b"".join(_fr_vec_bytes(t) for t in eqj_tables)
     sp_off, sp_pos, sp_val = _sco_csr(sparse_tabs, t_size)
     inc_off, inc_pos, inc_val = _sco_csr(inc_tabs, t_size)
-    w_blob = b"".join(
-        b"".join(int(v).to_bytes(32, "little") for v in w) for w in weights
-    )
+    c_blob = b"".join(int(c).to_bytes(32, "little") for c in coeffs)
     spec: List[int] = []
-    for sp_idx, sp_power, eqk_idx, inc_idx in term_spec:
+    for sp_idx, sp_power, eqj_idx, eqk_idx, inc_idx in term_spec:
         spec.append(sp_idx)
         spec.append(sp_power)
+        spec.append(len(eqj_idx))
+        spec.extend(eqj_idx)
         spec.append(len(eqk_idx))
         spec.extend(eqk_idx)
         spec.append(len(inc_idx))
@@ -519,9 +521,10 @@ def sco_create(log_k: int, log_t: int, eqk_tables, sparse_tabs, inc_tabs,
     spec_arr = (ctypes.c_int32 * len(spec))(*spec)
     return int(_lib.sco_create(
         log_k, log_t, _buf(eqk_blob), len(eqk_tables),
+        _buf(eqj_blob), len(eqj_tables),
         sp_off, sp_pos, _buf(sp_val), len(sparse_tabs),
         inc_off, inc_pos, _buf(inc_val), len(inc_tabs),
-        _buf(w_blob), spec_arr, len(term_spec),
+        _buf(c_blob), spec_arr, len(term_spec),
     ))
 
 
@@ -540,29 +543,10 @@ def sco_bind(sco_id: int, r) -> None:
     _lib.sco_bind(sco_id, _buf(int(r).to_bytes(32, "little")))
 
 
-def sco_export(sco_id: int, n_sp: int, n_inc: int, n_eqk: int, log_t: int):
-    """(sp_tables, inc_tables, eqk_scalars) as int lists after the k binds."""
-    t_size = 1 << log_t
-    raw_sp, out_sp = _out(32 * n_sp * t_size)
-    raw_inc, out_inc = _out(32 * max(n_inc, 1) * t_size)
-    raw_eqk, out_eqk = _out(32 * max(n_eqk, 1))
-    _lib.sco_export(sco_id, out_sp, out_inc, out_eqk)
-
-    def unpack(raw: bytes, count: int):
-        return [
-            [
-                int.from_bytes(raw[32 * (t * t_size + j):
-                                   32 * (t * t_size + j) + 32], "little")
-                for j in range(t_size)
-            ]
-            for t in range(count)
-        ]
-
-    eqk = [
-        int.from_bytes(raw_eqk.raw[32 * i:32 * i + 32], "little")
-        for i in range(n_eqk)
-    ]
-    return unpack(raw_sp.raw, n_sp), unpack(raw_inc.raw, n_inc), eqk
+def sco_make_sop(sco_id: int) -> int:
+    """Build the dense j-phase delegate's native sop handle directly from
+    the folded sco state (no Python round-trip of the T-sized tables)."""
+    return int(_lib.sco_make_sop(sco_id))
 
 
 def sco_free(sco_id: int) -> None:

@@ -18,6 +18,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
@@ -1501,10 +1504,12 @@ struct ScoState {
     int log_k, log_t;
     size_t k_rem, t_size;
     std::vector<std::vector<u64>> eqk;      // 4*k_rem limbs, Montgomery
+    std::vector<std::vector<u64>> eqj;      // 4*t_size limbs, Montgomery
     std::vector<ScoSparse> sp;
     std::vector<ScoSparse> inc;             // update lists
-    std::vector<std::vector<u64>> inc_cur;  // scan state, 4*k_rem limbs
     std::vector<ScoTerm> terms;
+    std::vector<std::vector<int>> eqj_idx;  // per term: eqj factor indices
+    std::vector<std::vector<u64>> coeffs;   // per term: 4 limbs, Montgomery
     std::vector<std::vector<u64>> weights;  // per term: 4*t_size, Montgomery
 };
 
@@ -1534,16 +1539,18 @@ static void sco_parse_csr(std::vector<ScoSparse> &out, const int32_t *offs,
 
 extern "C" {
 
-// eqk_blob: n_eqk * 2^log_k * 32 B.  Sparse/inc tables arrive as global
-// CSR: per-table offset rows of t_size+1 int32 indexing one shared
-// position/value stream.  weights_blob: n_terms * t_size * 32 B column
-// weights (coeff * prod of eqj factors, precombined by Python).  term_spec
-// flat stream per term: [sp_idx, sp_power, n_eqk, e..., n_inc, i...].
+// eqk_blob: n_eqk * 2^log_k * 32 B; eqj_blob: n_eqj * 2^log_t * 32 B.
+// Sparse/inc tables arrive as global CSR: per-table offset rows of
+// t_size+1 int32 indexing one shared position/value stream.  coeffs:
+// n_terms * 32 B.  term_spec flat stream per term:
+// [sp_idx, sp_power, n_eqj, j..., n_eqk, e..., n_inc, i...].  Per-column
+// term weights (coeff * prod of eqj factors) are computed here, natively.
 int sco_create(int log_k, int log_t, const uint8_t *eqk_blob, size_t n_eqk,
+               const uint8_t *eqj_blob, size_t n_eqj,
                const int32_t *sp_off, const int32_t *sp_pos,
                const uint8_t *sp_val, size_t n_sp, const int32_t *inc_off,
                const int32_t *inc_pos, const uint8_t *inc_val, size_t n_inc,
-               const uint8_t *weights_blob, const int32_t *term_spec,
+               const uint8_t *coeffs, const int32_t *term_spec,
                size_t n_terms) {
     ScoState *st = new ScoState();
     st->log_k = log_k;
@@ -1559,25 +1566,43 @@ int sco_create(int log_k, int log_t, const uint8_t *eqk_blob, size_t n_eqk,
             to_mont(&st->eqk[t][4 * i], raw, FR);
         }
     }
+    st->eqj.resize(n_eqj);
+    for (size_t t = 0; t < n_eqj; t++) {
+        st->eqj[t].resize(4 * st->t_size);
+        for (size_t i = 0; i < st->t_size; i++) {
+            u64 raw[4];
+            bytes_to_limbs(raw, eqj_blob + 32 * (t * st->t_size + i));
+            to_mont(&st->eqj[t][4 * i], raw, FR);
+        }
+    }
     sco_parse_csr(st->sp, sp_off, sp_pos, sp_val, n_sp, st->t_size);
     sco_parse_csr(st->inc, inc_off, inc_pos, inc_val, n_inc, st->t_size);
-    st->inc_cur.assign(n_inc, std::vector<u64>(4 * st->k_rem, 0));
     size_t off = 0;
     st->weights.resize(n_terms);
+    st->eqj_idx.resize(n_terms);
+    st->coeffs.resize(n_terms);
     for (size_t t = 0; t < n_terms; t++) {
         ScoTerm term;
         term.sp_idx = term_spec[off++];
         term.sp_power = term_spec[off++];
+        int nj = term_spec[off++];
+        for (int i = 0; i < nj; i++)
+            st->eqj_idx[t].push_back(term_spec[off++]);
         int ne = term_spec[off++];
         for (int i = 0; i < ne; i++) term.eqk_idx.push_back(term_spec[off++]);
         int ni = term_spec[off++];
         for (int i = 0; i < ni; i++) term.inc_idx.push_back(term_spec[off++]);
         st->terms.push_back(term);
+        st->coeffs[t].resize(4);
+        u64 raw[4];
+        bytes_to_limbs(raw, coeffs + 32 * t);
+        to_mont(st->coeffs[t].data(), raw, FR);
         st->weights[t].resize(4 * st->t_size);
         for (size_t j = 0; j < st->t_size; j++) {
-            u64 raw[4];
-            bytes_to_limbs(raw, weights_blob + 32 * (t * st->t_size + j));
-            to_mont(&st->weights[t][4 * j], raw, FR);
+            u64 *w = &st->weights[t][4 * j];
+            memcpy(w, st->coeffs[t].data(), 32);
+            for (int ji : st->eqj_idx[t])
+                mmul(w, w, &st->eqj[ji][4 * j], FR);
         }
     }
     g_sco_store.push_back(st);
@@ -1585,72 +1610,118 @@ int sco_create(int log_k, int log_t, const uint8_t *eqk_blob, size_t n_eqk,
 }
 
 // out: 4 * 32 B — the round polynomial evaluations g(0..3), standard form.
+// Parallelized over column chunks: the inc scan state is checkpointed at
+// chunk starts by a cheap update-only prefix pass, then chunks run
+// independently (exact field sums, order-independent).
 void sco_round_evals(int id, uint8_t *out) {
     ScoState *st = g_sco_store[id];
-    for (auto &cur : st->inc_cur) std::fill(cur.begin(), cur.end(), 0);
-    u64 sums[4][4] = {{0}};
+    size_t t_size = st->t_size;
+    size_t n_inc = st->inc.size();
     size_t nt = st->terms.size();
-    for (size_t j = 0; j < st->t_size; j++) {
-        for (size_t t = 0; t < nt; t++) {
-            const u64 *w = &st->weights[t][4 * j];
-            if (is_zero4(w)) continue;
-            const ScoTerm &term = st->terms[t];
-            const ScoSparse &S = st->sp[term.sp_idx];
-            for (int32_t e = S.off[j]; e < S.off[j + 1]; e++) {
-                int32_t p = S.ent[e].pos;
-                const u64 *c = S.ent[e].val;
-                size_t rest = (size_t)(p >> 1) * 8;  // limb offset of pair
-                u64 v[4][4];
-                if (p & 1) {  // (0, c, 2c, 3c)
-                    memset(v[0], 0, 32);
-                    memcpy(v[1], c, 32);
-                    add_mod(v[2], c, c, FR);
-                    add_mod(v[3], v[2], c, FR);
-                } else {  // (c, 0, -c, -2c)
-                    memcpy(v[0], c, 32);
-                    memset(v[1], 0, 32);
-                    neg_mod(v[2], c, FR);
-                    add_mod(v[3], v[2], v[2], FR);
+    int n_chunks = 1;
+#ifdef _OPENMP
+    if (t_size >= 16384) {
+        n_chunks = omp_get_max_threads();
+        if (n_chunks > 16) n_chunks = 16;
+        if (n_chunks < 1) n_chunks = 1;
+    }
+#endif
+    size_t chunk = (t_size + n_chunks - 1) / n_chunks;
+    std::vector<std::vector<std::vector<u64>>> ckpt(n_chunks);
+    {
+        std::vector<std::vector<u64>> cur(
+            n_inc, std::vector<u64>(4 * st->k_rem, 0));
+        for (int c = 0; c < n_chunks; c++) {
+            ckpt[c] = cur;
+            if (c == n_chunks - 1) break;
+            size_t j0 = (size_t)c * chunk, j1 = j0 + chunk;
+            for (size_t j = j0; j < j1 && j < t_size; j++) {
+                for (size_t ii = 0; ii < n_inc; ii++) {
+                    const ScoSparse &U = st->inc[ii];
+                    u64 *cu = cur[ii].data();
+                    for (int32_t e = U.off[j]; e < U.off[j + 1]; e++) {
+                        u64 *slot = cu + 4 * (size_t)U.ent[e].pos;
+                        add_mod(slot, slot, U.ent[e].val, FR);
+                    }
                 }
-                if (term.sp_power == 2)
-                    for (int x = 0; x < 4; x++) msq(v[x], v[x], FR);
-                for (int x = 0; x < 4; x++) mmul(v[x], v[x], w, FR);
-                for (int ei : term.eqk_idx) {
-                    const u64 *a0 = &st->eqk[ei][rest];
-                    const u64 *a1 = a0 + 4;
-                    u64 d[4], x2[4], x3[4];
-                    sub_mod(d, a1, a0, FR);
-                    add_mod(x2, a1, d, FR);
-                    add_mod(x3, x2, d, FR);
-                    mmul(v[0], v[0], a0, FR);
-                    mmul(v[1], v[1], a1, FR);
-                    mmul(v[2], v[2], x2, FR);
-                    mmul(v[3], v[3], x3, FR);
-                }
-                for (int ii : term.inc_idx) {
-                    const u64 *a0 = &st->inc_cur[ii][rest];
-                    const u64 *a1 = a0 + 4;
-                    u64 d[4], x2[4], x3[4];
-                    sub_mod(d, a1, a0, FR);
-                    add_mod(x2, a1, d, FR);
-                    add_mod(x3, x2, d, FR);
-                    mmul(v[0], v[0], a0, FR);
-                    mmul(v[1], v[1], a1, FR);
-                    mmul(v[2], v[2], x2, FR);
-                    mmul(v[3], v[3], x3, FR);
-                }
-                for (int x = 0; x < 4; x++)
-                    add_mod(sums[x], sums[x], v[x], FR);
             }
         }
-        for (size_t ii = 0; ii < st->inc.size(); ii++) {
-            const ScoSparse &U = st->inc[ii];
-            u64 *cur = st->inc_cur[ii].data();
-            for (int32_t e = U.off[j]; e < U.off[j + 1]; e++) {
-                u64 *slot = cur + 4 * (size_t)U.ent[e].pos;
-                add_mod(slot, slot, U.ent[e].val, FR);
+    }
+    u64 sums[4][4] = {{0}};
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n_chunks > 1)
+#endif
+    for (int c = 0; c < n_chunks; c++) {
+        std::vector<std::vector<u64>> cur = ckpt[c];
+        u64 local[4][4] = {{0}};
+        size_t j0 = (size_t)c * chunk;
+        size_t j1 = j0 + chunk < t_size ? j0 + chunk : t_size;
+        for (size_t j = j0; j < j1; j++) {
+            for (size_t t = 0; t < nt; t++) {
+                const u64 *w = &st->weights[t][4 * j];
+                if (is_zero4(w)) continue;
+                const ScoTerm &term = st->terms[t];
+                const ScoSparse &S = st->sp[term.sp_idx];
+                for (int32_t e = S.off[j]; e < S.off[j + 1]; e++) {
+                    int32_t p = S.ent[e].pos;
+                    const u64 *cv = S.ent[e].val;
+                    size_t rest = (size_t)(p >> 1) * 8;  // pair limb offset
+                    u64 v[4][4];
+                    if (p & 1) {  // (0, c, 2c, 3c)
+                        memset(v[0], 0, 32);
+                        memcpy(v[1], cv, 32);
+                        add_mod(v[2], cv, cv, FR);
+                        add_mod(v[3], v[2], cv, FR);
+                    } else {  // (c, 0, -c, -2c)
+                        memcpy(v[0], cv, 32);
+                        memset(v[1], 0, 32);
+                        neg_mod(v[2], cv, FR);
+                        add_mod(v[3], v[2], v[2], FR);
+                    }
+                    if (term.sp_power == 2)
+                        for (int x = 0; x < 4; x++) msq(v[x], v[x], FR);
+                    for (int x = 0; x < 4; x++) mmul(v[x], v[x], w, FR);
+                    for (int ei : term.eqk_idx) {
+                        const u64 *a0 = &st->eqk[ei][rest];
+                        const u64 *a1 = a0 + 4;
+                        u64 d[4], x2[4], x3[4];
+                        sub_mod(d, a1, a0, FR);
+                        add_mod(x2, a1, d, FR);
+                        add_mod(x3, x2, d, FR);
+                        mmul(v[0], v[0], a0, FR);
+                        mmul(v[1], v[1], a1, FR);
+                        mmul(v[2], v[2], x2, FR);
+                        mmul(v[3], v[3], x3, FR);
+                    }
+                    for (int ii : term.inc_idx) {
+                        const u64 *a0 = &cur[ii][rest];
+                        const u64 *a1 = a0 + 4;
+                        u64 d[4], x2[4], x3[4];
+                        sub_mod(d, a1, a0, FR);
+                        add_mod(x2, a1, d, FR);
+                        add_mod(x3, x2, d, FR);
+                        mmul(v[0], v[0], a0, FR);
+                        mmul(v[1], v[1], a1, FR);
+                        mmul(v[2], v[2], x2, FR);
+                        mmul(v[3], v[3], x3, FR);
+                    }
+                    for (int x = 0; x < 4; x++)
+                        add_mod(local[x], local[x], v[x], FR);
+                }
+            }
+            for (size_t ii = 0; ii < n_inc; ii++) {
+                const ScoSparse &U = st->inc[ii];
+                u64 *cu = cur[ii].data();
+                for (int32_t e = U.off[j]; e < U.off[j + 1]; e++) {
+                    u64 *slot = cu + 4 * (size_t)U.ent[e].pos;
+                    add_mod(slot, slot, U.ent[e].val, FR);
+                }
             }
         }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        for (int x = 0; x < 4; x++) add_mod(sums[x], sums[x], local[x], FR);
     }
     for (int x = 0; x < 4; x++) {
         u64 s[4];
@@ -1712,43 +1783,53 @@ void sco_bind(int id, const uint8_t *r_bytes) {
     for (auto &S : st->sp) sco_fold_sparse(S, r, nr, st->t_size);
     for (auto &U : st->inc) sco_fold_sparse(U, r, nr, st->t_size);
     st->k_rem = half;
-    st->inc_cur.assign(st->inc.size(), std::vector<u64>(4 * half, 0));
 }
 
-// After the k binds: sp_out = per sparse table the T column sums,
-// inc_out = per inc table the T-entry prefix table, eqk_out = per eqk
-// table its (fully folded) first element.  All standard form, 32 B each.
-void sco_export(int id, uint8_t *sp_out, uint8_t *inc_out,
-                uint8_t *eqk_out) {
+// After the k binds: build the dense j-phase delegate's SopState directly
+// from the folded native state (zero Python round-trips).  Table order:
+// eqj tables, then per sparse table its T column sums, then per inc table
+// its T-entry prefix table; term coefficients absorb the fully-folded eqk
+// scalars.  Returns a sop handle usable with sop_round_evals/bind/final.
+int sco_make_sop(int id) {
     ScoState *st = g_sco_store[id];
     size_t t_size = st->t_size;
-    for (size_t t = 0; t < st->sp.size(); t++) {
-        const ScoSparse &S = st->sp[t];
-        for (size_t j = 0; j < t_size; j++) {
-            u64 acc[4] = {0, 0, 0, 0};
+    SopState *so = new SopState();
+    so->size = t_size;
+    size_t n_eqj = st->eqj.size(), n_sp = st->sp.size();
+    so->tables.reserve(n_eqj + n_sp + st->inc.size());
+    for (const auto &t : st->eqj) so->tables.push_back(t);
+    for (const auto &S : st->sp) {
+        std::vector<u64> tab(4 * t_size, 0);
+        for (size_t j = 0; j < t_size; j++)
             for (int32_t e = S.off[j]; e < S.off[j + 1]; e++)
-                add_mod(acc, acc, S.ent[e].val, FR);
-            u64 s[4];
-            from_mont(s, acc, FR);
-            limbs_to_bytes(sp_out + 32 * (t * t_size + j), s);
-        }
+                add_mod(&tab[4 * j], &tab[4 * j], S.ent[e].val, FR);
+        so->tables.push_back(std::move(tab));
     }
-    for (size_t t = 0; t < st->inc.size(); t++) {
-        const ScoSparse &U = st->inc[t];
+    for (const auto &U : st->inc) {
+        std::vector<u64> tab(4 * t_size);
         u64 cur[4] = {0, 0, 0, 0};
         for (size_t j = 0; j < t_size; j++) {
-            u64 s[4];
-            from_mont(s, cur, FR);
-            limbs_to_bytes(inc_out + 32 * (t * t_size + j), s);
+            memcpy(&tab[4 * j], cur, 32);
             for (int32_t e = U.off[j]; e < U.off[j + 1]; e++)
                 add_mod(cur, cur, U.ent[e].val, FR);
         }
+        so->tables.push_back(std::move(tab));
     }
-    for (size_t t = 0; t < st->eqk.size(); t++) {
-        u64 s[4];
-        from_mont(s, &st->eqk[t][0], FR);
-        limbs_to_bytes(eqk_out + 32 * t, s);
+    for (size_t t = 0; t < st->terms.size(); t++) {
+        const ScoTerm &term = st->terms[t];
+        SopTerm so_t;
+        memcpy(so_t.coeff, st->coeffs[t].data(), 32);
+        for (int ei : term.eqk_idx)
+            mmul(so_t.coeff, so_t.coeff, &st->eqk[ei][0], FR);
+        for (int ji : st->eqj_idx[t]) so_t.factors.push_back(ji);
+        for (int x = 0; x < term.sp_power; x++)
+            so_t.factors.push_back((int)n_eqj + term.sp_idx);
+        for (int ii : term.inc_idx)
+            so_t.factors.push_back((int)(n_eqj + n_sp) + ii);
+        so->terms.push_back(so_t);
     }
+    g_sop_store.push_back(so);
+    return (int)g_sop_store.size() - 1;
 }
 
 void sco_free(int id) {

@@ -48,6 +48,8 @@ class SparseCubeOracle(SumcheckOracle):
         self._k_rem = 1 << log_k
 
         # dedupe mutable factors by identity so shared tables fold once
+        # (and shared eqj tables marshal once)
+        self._eqj: List[List[int]] = []
         self._eqk: List[List[int]] = []
         self._sparse: List[List[List[Tuple[int, int]]]] = []  # cols
         self._inc: List[List[List[Tuple[int, int]]]] = []     # updates
@@ -55,16 +57,20 @@ class SparseCubeOracle(SumcheckOracle):
         seen = {}
         self._terms = []
         for coeff, factors in terms:
-            eqj_tabs: List[List[int]] = []
+            eqj_idx: List[int] = []
             eqk_idx: List[int] = []
             sp_idx = None
             sp_power = 0
             inc_idx: List[int] = []
             for kind, payload in factors:
                 if kind == "eqj":
-                    if len(payload) != t_size:
-                        raise SumCheckError("eqj table size mismatch")
-                    eqj_tabs.append([int(v) % _P for v in payload])
+                    key = ("eqj", id(payload))
+                    if key not in seen:
+                        if len(payload) != t_size:
+                            raise SumCheckError("eqj table size mismatch")
+                        seen[key] = len(self._eqj)
+                        self._eqj.append([int(v) % _P for v in payload])
+                    eqj_idx.append(seen[key])
                 elif kind == "eqk":
                     key = ("eqk", id(payload))
                     if key not in seen:
@@ -99,16 +105,13 @@ class SparseCubeOracle(SumcheckOracle):
                     raise SumCheckError(f"unknown factor kind {kind}")
             if sp_idx is None:
                 raise SumCheckError("each term needs a colsparse factor")
-            # per-column weight: coeff * prod of eqj values (static in k)
-            w = [int(coeff) % _P] * t_size
-            for tab in eqj_tabs:
-                w = [a * b % _P for a, b in zip(w, tab)]
-            self._terms.append((w, eqj_tabs, eqk_idx, sp_idx, sp_power,
+            self._terms.append((None, eqj_idx, eqk_idx, sp_idx, sp_power,
                                 inc_idx, int(coeff) % _P))
         self._delegate = None
         # Route the k rounds to the native C++ twin when available: the
         # per-column big-int loops below run ~20-40x faster there with
-        # bit-identical output (exact field arithmetic either way).
+        # bit-identical output (exact field arithmetic either way), and
+        # the per-column term weights are computed native-side.
         self._nat = None
         if log_k > 0:
             import os
@@ -118,10 +121,24 @@ class SparseCubeOracle(SumcheckOracle):
 
                 if _native.available:
                     self._nat = _native.sco_create(
-                        log_k, log_t, self._eqk, self._sparse, self._inc,
-                        [t[0] for t in self._terms],
-                        [(t[3], t[4], t[2], t[5]) for t in self._terms],
+                        log_k, log_t, self._eqk, self._eqj, self._sparse,
+                        self._inc, [t[6] for t in self._terms],
+                        [(t[3], t[4], t[1], t[2], t[5])
+                         for t in self._terms],
                     )
+        if self._nat is None:
+            # Python fallback: materialize the per-column weights
+            # coeff * prod of eqj factors (static in k)
+            new_terms = []
+            for (_, eqj_idx, eqk_idx, sp_idx, sp_power, inc_idx, coeff) \
+                    in self._terms:
+                w = [coeff] * t_size
+                for ji in eqj_idx:
+                    tab = self._eqj[ji]
+                    w = [a * b % _P for a, b in zip(w, tab)]
+                new_terms.append((w, eqj_idx, eqk_idx, sp_idx, sp_power,
+                                  inc_idx, coeff))
+            self._terms = new_terms
 
     def __del__(self):
         if getattr(self, "_nat", None) is not None:
@@ -232,23 +249,12 @@ class SparseCubeOracle(SumcheckOracle):
         if self._nat is not None:
             from .. import _native
 
-            sp_tables, inc_tables, eqk0 = _native.sco_export(
-                self._nat, len(self._sparse), len(self._inc),
-                len(self._eqk), self.log_t,
-            )
+            sop_id = _native.sco_make_sop(self._nat)
             _native.sco_free(self._nat)
             self._nat = None
-            terms = []
-            for (w, eqj_tabs, eqk_idx, sp_idx, sp_power, inc_idx, coeff) \
-                    in self._terms:
-                c = coeff
-                for ei in eqk_idx:
-                    c = c * eqk0[ei] % _P
-                tabs = list(eqj_tabs)
-                tabs += [sp_tables[sp_idx]] * sp_power
-                tabs += [inc_tables[ii] for ii in inc_idx]
-                terms.append((c, tabs))
-            self._delegate = SumOfProductsOracle(self.log_t, terms)
+            self._delegate = SumOfProductsOracle._from_native_id(
+                self.log_t, sop_id
+            )
             return
         t_size = 1 << self.log_t
         sp_tables = [
@@ -271,12 +277,12 @@ class SparseCubeOracle(SumcheckOracle):
                     cur = (cur + d) % _P
             inc_tables.append(tab)
         terms = []
-        for (w, eqj_tabs, eqk_idx, sp_idx, sp_power, inc_idx, coeff) \
+        for (w, eqj_idx, eqk_idx, sp_idx, sp_power, inc_idx, coeff) \
                 in self._terms:
             c = coeff
             for ei in eqk_idx:
                 c = c * self._eqk[ei][0] % _P
-            tabs = list(eqj_tabs)
+            tabs = [self._eqj[ji] for ji in eqj_idx]
             tabs += [sp_tables[sp_idx]] * sp_power
             tabs += [inc_tables[ii] for ii in inc_idx]
             terms.append((c, tabs))

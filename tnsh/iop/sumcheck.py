@@ -228,6 +228,18 @@ class SumOfProductsOracle(SumcheckOracle):
                 )
                 self._tables = []  # tables live native-side
 
+    @classmethod
+    def _from_native_id(cls, num_vars: int, native_id: int
+                        ) -> "SumOfProductsOracle":
+        """Wrap an already-built native sop handle (e.g. from
+        _native.sco_make_sop) without marshalling any tables."""
+        o = cls.__new__(cls)
+        o.num_vars = num_vars
+        o._tables = []
+        o._terms = []
+        o._native_id = native_id
+        return o
+
     def __del__(self):  # pragma: no cover - finalizer
         if getattr(self, "_native_id", None) is not None:
             try:
