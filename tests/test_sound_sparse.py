@@ -121,6 +121,75 @@ def test_native_k_phase_matches_python(monkeypatch):
     )
 
 
+def test_k_phase_classes_match_dense(monkeypatch):
+    """Class S/I/E terms (incl. multi-entry-per-pair squared columns) must
+    agree three ways: native C++ == pure Python == a dense brute-force
+    SumOfProductsOracle over the full (k, j) cube.
+
+    Covers ADVICE round-2 item 1 (the squared-colsparse merge) and the
+    round-3 class I/E extensions used by the batched sound protocol.
+    """
+    from tnsh import _native
+    from tnsh.commit.mkzg_sparse import IncrementalCubeTable, SparseCubeTable
+    from tnsh.iop.sparse_oracle import SparseCubeOracle
+    from tnsh.iop.sumcheck import SumOfProductsOracle
+
+    if not _native.available:
+        pytest.skip("native layer unavailable")
+    random.seed(23)
+    log_k, log_t = 3, 4
+    k_size, t_size = 1 << log_k, 1 << log_t
+    sp = SparseCubeTable(log_k, log_t)
+    inc = IncrementalCubeTable(log_k, log_t)
+    for j in range(t_size):
+        # 2-3 entries per column, deliberately including same-pair pairs
+        # (k and k^1) so (a+b)^2 != a^2+b^2 is exercised
+        k0 = random.randrange(k_size)
+        sp.set(j, k0, random.randrange(MODULUS))
+        sp.set(j, k0 ^ 1, random.randrange(MODULUS))
+        if j % 2:
+            sp.set(j, random.randrange(k_size), random.randrange(MODULUS))
+        inc.add_update(j, random.randrange(k_size), random.randrange(MODULUS))
+    eqj = [random.randrange(MODULUS) for _ in range(t_size)]
+    eqk = [random.randrange(MODULUS) for _ in range(k_size)]
+    terms = [
+        (3, [("eqj", eqj), ("colsparse", sp), ("colinc", inc)]),   # class S
+        (MODULUS - 2, [("eqk", eqk), ("colsparse", sp),
+                       ("colsparse", sp)]),                        # S, squared
+        (5, [("eqk", eqk), ("colinc", inc)]),                      # class I
+        (7, [("eqj", eqj), ("eqk", eqk)]),                         # class E
+        (11, [("eqk", eqk)]),                                      # class E
+    ]
+    # dense brute-force twin over the full cube (variable 0 = k_0 fastest)
+    sp_d, inc_d = sp.to_dense(), inc.to_dense()
+    eqj_cube = [eqj[j] for j in range(t_size) for _ in range(k_size)]
+    eqk_cube = [eqk[k] for _ in range(t_size) for k in range(k_size)]
+    cube = {id(sp): sp_d, id(inc): inc_d, id(eqj): eqj_cube,
+            id(eqk): eqk_cube}
+    dense_terms = [
+        (Fr(c), [cube[id(payload)] for _, payload in fs]) for c, fs in terms
+    ]
+    dense = SumOfProductsOracle(log_k + log_t, dense_terms)
+
+    monkeypatch.delenv("TNSH_NO_NATIVE", raising=False)
+    a = SparseCubeOracle(log_k, log_t, terms)
+    monkeypatch.setenv("TNSH_NO_NATIVE", "1")
+    b = SparseCubeOracle(log_k, log_t, terms)
+    assert a._nat is not None and b._nat is None
+    challenges = [Fr(987654 + 17 * i) for i in range(log_k + log_t)]
+    for rnd, r in enumerate(challenges):
+        ea = [int(x) for x in a.round_evaluations(rnd)]
+        eb = [int(x) for x in b.round_evaluations(rnd)]
+        ed = [int(x) for x in dense.round_evaluations(rnd)]
+        assert ea == eb == ed[: len(ea)], f"round {rnd}"
+        a.bind(r)
+        b.bind(r)
+        dense.bind(r)
+    fa = int(a.final_evaluation(challenges))
+    assert fa == int(b.final_evaluation(challenges))
+    assert fa == int(dense.final_evaluation(challenges))
+
+
 class TestShoutSparse:
     def test_sparse_matches_dense_bytes(self, params):
         pp, vp = params

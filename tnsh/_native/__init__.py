@@ -46,8 +46,17 @@ def _load() -> None:
         and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
     )
     if needs_build and not _build():
-        if not os.path.exists(_LIB):
-            return
+        # Never run a stale library against newer sources: a silent
+        # fallback here once masked a compile error and segfaulted on
+        # ABI-mismatched calls.  Loudly refuse instead.
+        import sys
+
+        print(
+            "tnsh._native: compile of tnsh_native.cpp FAILED; "
+            "falling back to pure Python (run g++ manually for the error)",
+            file=sys.stderr,
+        )
+        return
     try:
         lib = ctypes.CDLL(_LIB)
     except OSError:

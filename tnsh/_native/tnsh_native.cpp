@@ -14,6 +14,7 @@
 // results are bit-identical to the pure-Python golden path (asserted in
 // tests/test_native.py).
 
+#include <array>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -1335,6 +1336,21 @@ struct SopState {
 
 static std::vector<SopState *> g_sop_store;
 
+// Reuse freed handle slots so long-running provers don't grow the stores
+// one pointer per oracle per proof (ADVICE round-2 item 2).
+extern "C++" {
+template <typename T>
+static int store_put(std::vector<T *> &store, T *st) {
+    for (size_t i = 0; i < store.size(); i++)
+        if (!store[i]) {
+            store[i] = st;
+            return (int)i;
+        }
+    store.push_back(st);
+    return (int)store.size() - 1;
+}
+}
+
 extern "C" {
 
 // tables: num_tables * size * 32 B standard-form Fr; spec encodes terms as
@@ -1368,8 +1384,7 @@ int sop_create(const uint8_t *tables, size_t num_tables, size_t size,
         for (int f = 0; f < nf; f++) term.factors.push_back(spec[off++]);
         st->terms.push_back(term);
     }
-    g_sop_store.push_back(st);
-    return (int)g_sop_store.size() - 1;
+    return store_put(g_sop_store, st);
 }
 
 // out: 4 * 32 B — g(0), g(1), g(2), g(3) in standard form.
@@ -1494,7 +1509,7 @@ struct ScoSparse {
 };
 
 struct ScoTerm {
-    int sp_idx;
+    int sp_idx;      // -1: no colsparse factor (class I or E — see below)
     int sp_power;
     std::vector<int> eqk_idx;
     std::vector<int> inc_idx;
@@ -1511,6 +1526,7 @@ struct ScoState {
     std::vector<std::vector<int>> eqj_idx;  // per term: eqj factor indices
     std::vector<std::vector<u64>> coeffs;   // per term: 4 limbs, Montgomery
     std::vector<std::vector<u64>> weights;  // per term: 4*t_size, Montgomery
+    std::vector<std::vector<u64>> wsum;     // per term: sum_j weights, 4 limbs
 };
 
 static std::vector<ScoState *> g_sco_store;
@@ -1605,19 +1621,77 @@ int sco_create(int log_k, int log_t, const uint8_t *eqk_blob, size_t n_eqk,
                 mmul(w, w, &st->eqj[ji][4 * j], FR);
         }
     }
-    g_sco_store.push_back(st);
-    return (int)g_sco_store.size() - 1;
+    st->wsum.resize(n_terms);
+    for (size_t t = 0; t < n_terms; t++) {
+        st->wsum[t].assign(4, 0);
+        for (size_t j = 0; j < st->t_size; j++)
+            add_mod(st->wsum[t].data(), st->wsum[t].data(),
+                    &st->weights[t][4 * j], FR);
+    }
+    return store_put(g_sco_store, st);
+}
+
+// Multiply v[0..3] (values at X = 0..3) by the linear form (a0, a1) read
+// from a pair of adjacent slots: a(X) = a0 + X (a1 - a0).
+static inline void sco_mul_linear(u64 v[4][4], const u64 *a0, const u64 *a1) {
+    u64 d[4], x2[4], x3[4];
+    sub_mod(d, a1, a0, FR);
+    add_mod(x2, a1, d, FR);
+    add_mod(x3, x2, d, FR);
+    mmul(v[0], v[0], a0, FR);
+    mmul(v[1], v[1], a1, FR);
+    mmul(v[2], v[2], x2, FR);
+    mmul(v[3], v[3], x3, FR);
 }
 
 // out: 4 * 32 B — the round polynomial evaluations g(0..3), standard form.
 // Parallelized over column chunks: the inc scan state is checkpointed at
 // chunk starts by a cheap update-only prefix pass, then chunks run
 // independently (exact field sums, order-independent).
+//
+// Term classes (mirrors tnsh/iop/sparse_oracle.py):
+//   class S (sp_idx >= 0): per-column sparse entries pin the k position.
+//   class I (sp_idx < 0, one colinc): h(X) = sum_rest prod(eqk) * cur is
+//     maintained INCREMENTALLY across the scan — O(#eqk) per delta.
+//   class E (sp_idx < 0, no colinc): (sum_rest prod eqk)(X) * sum_j w_j.
 void sco_round_evals(int id, uint8_t *out) {
     ScoState *st = g_sco_store[id];
     size_t t_size = st->t_size;
     size_t n_inc = st->inc.size();
     size_t nt = st->terms.size();
+    size_t half = st->k_rem / 2;
+    u64 sums[4][4] = {{0}};
+
+    // class partition: cls_i = class-I term ids; inc2cls[ii] = the class-I
+    // terms reading colinc table ii (their h updates ride its deltas)
+    std::vector<int> cls_i;
+    std::vector<std::vector<int>> inc2cls(n_inc);
+    for (size_t t = 0; t < nt; t++) {
+        const ScoTerm &term = st->terms[t];
+        if (term.sp_idx >= 0) continue;
+        if (!term.inc_idx.empty()) {
+            inc2cls[term.inc_idx[0]].push_back((int)cls_i.size());
+            cls_i.push_back((int)t);
+            continue;
+        }
+        // class E: fully factorized, no column scan
+        if (is_zero4(st->wsum[t].data())) continue;
+        u64 e[4][4] = {{0}};
+        for (size_t rest = 0; rest < half; rest++) {
+            u64 p[4][4];
+            for (int x = 0; x < 4; x++) memcpy(p[x], FR.one, 32);
+            for (int ei : term.eqk_idx)
+                sco_mul_linear(p, &st->eqk[ei][8 * rest],
+                               &st->eqk[ei][8 * rest + 4]);
+            for (int x = 0; x < 4; x++) add_mod(e[x], e[x], p[x], FR);
+        }
+        for (int x = 0; x < 4; x++) {
+            u64 v[4];
+            mmul(v, e[x], st->wsum[t].data(), FR);
+            add_mod(sums[x], sums[x], v, FR);
+        }
+    }
+
     int n_chunks = 1;
 #ifdef _OPENMP
     if (t_size >= 16384) {
@@ -1647,22 +1721,96 @@ void sco_round_evals(int id, uint8_t *out) {
             }
         }
     }
-    u64 sums[4][4] = {{0}};
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) if (n_chunks > 1)
 #endif
     for (int c = 0; c < n_chunks; c++) {
         std::vector<std::vector<u64>> cur = ckpt[c];
         u64 local[4][4] = {{0}};
+        // class-I running sums, seeded from the chunk-start inc state
+        std::vector<std::array<u64, 16>> hst(cls_i.size());
+        for (size_t ci = 0; ci < cls_i.size(); ci++) {
+            const ScoTerm &term = st->terms[cls_i[ci]];
+            u64 h[4][4] = {{0}};
+            const u64 *cu = cur[term.inc_idx[0]].data();
+            for (size_t rest = 0; rest < half; rest++) {
+                const u64 *b0 = cu + 8 * rest;
+                const u64 *b1 = b0 + 4;
+                if (is_zero4(b0) && is_zero4(b1)) continue;
+                u64 v[4][4];
+                memcpy(v[0], b0, 32);
+                memcpy(v[1], b1, 32);
+                u64 d[4];
+                sub_mod(d, b1, b0, FR);
+                add_mod(v[2], b1, d, FR);
+                add_mod(v[3], v[2], d, FR);
+                for (int ei : term.eqk_idx)
+                    sco_mul_linear(v, &st->eqk[ei][8 * rest],
+                                   &st->eqk[ei][8 * rest + 4]);
+                for (int x = 0; x < 4; x++) add_mod(h[x], h[x], v[x], FR);
+            }
+            memcpy(hst[ci].data(), h, 128);
+        }
         size_t j0 = (size_t)c * chunk;
         size_t j1 = j0 + chunk < t_size ? j0 + chunk : t_size;
         for (size_t j = j0; j < j1; j++) {
             for (size_t t = 0; t < nt; t++) {
+                const ScoTerm &term = st->terms[t];
+                if (term.sp_idx < 0) continue;
                 const u64 *w = &st->weights[t][4 * j];
                 if (is_zero4(w)) continue;
-                const ScoTerm &term = st->terms[t];
                 const ScoSparse &S = st->sp[term.sp_idx];
-                for (int32_t e = S.off[j]; e < S.off[j + 1]; e++) {
+                int32_t e0 = S.off[j], e1 = S.off[j + 1];
+                if (term.sp_power == 2 && e1 - e0 > 1) {
+                    // merge same-pair entries BEFORE squaring: a pair's
+                    // restriction is ONE linear form, (a+b)^2 != a^2+b^2
+                    // (ADVICE round-2 item 1)
+                    struct PF {
+                        int32_t rest;
+                        u64 lo[4], hi[4];
+                    };
+                    std::vector<PF> pf;
+                    for (int32_t e = e0; e < e1; e++) {
+                        int32_t p = S.ent[e].pos;
+                        int32_t rest = p >> 1;
+                        PF *f = nullptr;
+                        for (auto &q : pf)
+                            if (q.rest == rest) {
+                                f = &q;
+                                break;
+                            }
+                        if (!f) {
+                            pf.push_back(PF());
+                            f = &pf.back();
+                            f->rest = rest;
+                            memset(f->lo, 0, 32);
+                            memset(f->hi, 0, 32);
+                        }
+                        u64 *slot = (p & 1) ? f->hi : f->lo;
+                        add_mod(slot, slot, S.ent[e].val, FR);
+                    }
+                    for (const auto &f : pf) {
+                        size_t rest = (size_t)f.rest * 8;
+                        u64 v[4][4], d[4];
+                        memcpy(v[0], f.lo, 32);
+                        memcpy(v[1], f.hi, 32);
+                        sub_mod(d, f.hi, f.lo, FR);
+                        add_mod(v[2], f.hi, d, FR);
+                        add_mod(v[3], v[2], d, FR);
+                        for (int x = 0; x < 4; x++) msq(v[x], v[x], FR);
+                        for (int x = 0; x < 4; x++) mmul(v[x], v[x], w, FR);
+                        for (int ei : term.eqk_idx)
+                            sco_mul_linear(v, &st->eqk[ei][rest],
+                                           &st->eqk[ei][rest + 4]);
+                        for (int ii : term.inc_idx)
+                            sco_mul_linear(v, &cur[ii][rest],
+                                           &cur[ii][rest + 4]);
+                        for (int x = 0; x < 4; x++)
+                            add_mod(local[x], local[x], v[x], FR);
+                    }
+                    continue;
+                }
+                for (int32_t e = e0; e < e1; e++) {
                     int32_t p = S.ent[e].pos;
                     const u64 *cv = S.ent[e].val;
                     size_t rest = (size_t)(p >> 1) * 8;  // pair limb offset
@@ -1681,40 +1829,56 @@ void sco_round_evals(int id, uint8_t *out) {
                     if (term.sp_power == 2)
                         for (int x = 0; x < 4; x++) msq(v[x], v[x], FR);
                     for (int x = 0; x < 4; x++) mmul(v[x], v[x], w, FR);
-                    for (int ei : term.eqk_idx) {
-                        const u64 *a0 = &st->eqk[ei][rest];
-                        const u64 *a1 = a0 + 4;
-                        u64 d[4], x2[4], x3[4];
-                        sub_mod(d, a1, a0, FR);
-                        add_mod(x2, a1, d, FR);
-                        add_mod(x3, x2, d, FR);
-                        mmul(v[0], v[0], a0, FR);
-                        mmul(v[1], v[1], a1, FR);
-                        mmul(v[2], v[2], x2, FR);
-                        mmul(v[3], v[3], x3, FR);
-                    }
-                    for (int ii : term.inc_idx) {
-                        const u64 *a0 = &cur[ii][rest];
-                        const u64 *a1 = a0 + 4;
-                        u64 d[4], x2[4], x3[4];
-                        sub_mod(d, a1, a0, FR);
-                        add_mod(x2, a1, d, FR);
-                        add_mod(x3, x2, d, FR);
-                        mmul(v[0], v[0], a0, FR);
-                        mmul(v[1], v[1], a1, FR);
-                        mmul(v[2], v[2], x2, FR);
-                        mmul(v[3], v[3], x3, FR);
-                    }
+                    for (int ei : term.eqk_idx)
+                        sco_mul_linear(v, &st->eqk[ei][rest],
+                                       &st->eqk[ei][rest + 4]);
+                    for (int ii : term.inc_idx)
+                        sco_mul_linear(v, &cur[ii][rest],
+                                       &cur[ii][rest + 4]);
                     for (int x = 0; x < 4; x++)
                         add_mod(local[x], local[x], v[x], FR);
+                }
+            }
+            // class-I contributions read h BEFORE column j's updates
+            for (size_t ci = 0; ci < cls_i.size(); ci++) {
+                const u64 *w = &st->weights[cls_i[ci]][4 * j];
+                if (is_zero4(w)) continue;
+                for (int x = 0; x < 4; x++) {
+                    u64 v[4];
+                    mmul(v, w, hst[ci].data() + 4 * x, FR);
+                    add_mod(local[x], local[x], v, FR);
                 }
             }
             for (size_t ii = 0; ii < n_inc; ii++) {
                 const ScoSparse &U = st->inc[ii];
                 u64 *cu = cur[ii].data();
                 for (int32_t e = U.off[j]; e < U.off[j + 1]; e++) {
-                    u64 *slot = cu + 4 * (size_t)U.ent[e].pos;
-                    add_mod(slot, slot, U.ent[e].val, FR);
+                    int32_t p = U.ent[e].pos;
+                    const u64 *dv = U.ent[e].val;
+                    u64 *slot = cu + 4 * (size_t)p;
+                    add_mod(slot, slot, dv, FR);
+                    size_t rest = (size_t)(p >> 1) * 8;
+                    for (int ci : inc2cls[ii]) {
+                        const ScoTerm &term = st->terms[cls_i[ci]];
+                        u64 v[4][4];
+                        if (p & 1) {  // delta * X
+                            memset(v[0], 0, 32);
+                            memcpy(v[1], dv, 32);
+                            add_mod(v[2], dv, dv, FR);
+                            add_mod(v[3], v[2], dv, FR);
+                        } else {  // delta * (1 - X)
+                            memcpy(v[0], dv, 32);
+                            memset(v[1], 0, 32);
+                            neg_mod(v[2], dv, FR);
+                            add_mod(v[3], v[2], v[2], FR);
+                        }
+                        for (int ei : term.eqk_idx)
+                            sco_mul_linear(v, &st->eqk[ei][rest],
+                                           &st->eqk[ei][rest + 4]);
+                        u64 *h = hst[ci].data();
+                        for (int x = 0; x < 4; x++)
+                            add_mod(h + 4 * x, h + 4 * x, v[x], FR);
+                    }
                 }
             }
         }
@@ -1828,8 +1992,7 @@ int sco_make_sop(int id) {
             so_t.factors.push_back((int)(n_eqj + n_sp) + ii);
         so->terms.push_back(so_t);
     }
-    g_sop_store.push_back(so);
-    return (int)g_sop_store.size() - 1;
+    return store_put(g_sop_store, so);
 }
 
 void sco_free(int id) {

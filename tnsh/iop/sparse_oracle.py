@@ -9,7 +9,7 @@ polynomials (locked by tests/test_sound_sparse.py).
 
 Factor kinds per term:
   ("eqj", table_T)    — j-only multilinear table (constant over k):
-                        eq/lt kernels, wv/ot columns.
+                        eq/lt kernels, wv/ot/rv columns.
   ("eqk", table_K)    — k-only multilinear table (constant over j):
                         eq(tau_k, .) kernels, lookup tables.
   ("colsparse", SparseCubeTable) — few entries per cycle column (ra, wa,
@@ -18,11 +18,22 @@ Factor kinds per term:
                         factors in one term are not supported.
   ("colinc", IncrementalCubeTable) — column-incremental (Twist's Val).
 
-k-phase rounds: the colsparse factor pins each column's contribution to
-one residual position; eqk/colinc factors are read at that position (the
-colinc "current column" is maintained by an in-order scan, O(K_rem + T)
-per round).  After the k variables bind, every factor collapses to a
-T-sized dense table and the j phase delegates to SumOfProductsOracle
+Term classes in the k phase (all three are needed by the round-3 BATCHED
+sound protocol, which folds every constraint into one sum-check):
+  * class S (has a colsparse factor): the colsparse factor pins each
+    column's contribution to one residual position; eqk/colinc factors
+    are read at that position (the colinc "current column" is maintained
+    by an in-order scan, O(K_rem + T) per round).
+  * class I (colinc but no colsparse, e.g. eq(tau)*Val): the running sum
+    h(X) = sum_rest prod(eqk)(X, rest) * cur(X, rest) is maintained
+    INCREMENTALLY across the column scan — each colinc delta updates h
+    with O(#eqk) muls — so the round stays O(T + K), never O(T * K).
+  * class E (eqk/eqj factors only, e.g. lifted column constraints):
+    the k-sum and the j-sum factorize; contribution is
+    (sum_rest prod eqk(X, rest)) * (sum_j weight_j), O(K_rem) per round.
+
+After the k variables bind, every factor collapses to a T-sized dense
+table and the j phase delegates to SumOfProductsOracle
 (native-accelerated).
 """
 
@@ -103,8 +114,11 @@ class SparseCubeOracle(SumcheckOracle):
                     inc_idx.append(seen[key])
                 else:
                     raise SumCheckError(f"unknown factor kind {kind}")
-            if sp_idx is None:
-                raise SumCheckError("each term needs a colsparse factor")
+            if sp_idx is None and len(inc_idx) > 1:
+                raise SumCheckError(
+                    "a term without a colsparse factor supports at most "
+                    "one colinc factor (class I)"
+                )
             self._terms.append((None, eqj_idx, eqk_idx, sp_idx, sp_power,
                                 inc_idx, int(coeff) % _P))
         self._delegate = None
@@ -123,8 +137,8 @@ class SparseCubeOracle(SumcheckOracle):
                     self._nat = _native.sco_create(
                         log_k, log_t, self._eqk, self._eqj, self._sparse,
                         self._inc, [t[6] for t in self._terms],
-                        [(t[3], t[4], t[1], t[2], t[5])
-                         for t in self._terms],
+                        [(-1 if t[3] is None else t[3], t[4], t[1], t[2],
+                          t[5]) for t in self._terms],
                     )
         if self._nat is None:
             # Python fallback: materialize the per-column weights
@@ -153,7 +167,6 @@ class SparseCubeOracle(SumcheckOracle):
 
     def _k_round_evals(self) -> List[Fr]:
         t_size = 1 << self.log_t
-        sums = [0, 0, 0, 0]
         # reset colinc scan state
         for cur in self._inc_cur:
             for i in range(len(cur)):
@@ -166,17 +179,80 @@ class SparseCubeOracle(SumcheckOracle):
         eqk_all = self._eqk
         inc_cur_all = self._inc_cur
         s0 = s1 = s2 = s3 = 0
+
+        # classify colsparse-free terms once per round
+        cls_s = []  # terms with a colsparse factor (per-column entries)
+        cls_i = []  # colinc, no colsparse: [term, h0, h1, h2, h3]
+        half = self._k_rem // 2
+        for t in terms:
+            (w, _tabs, eqk_idx, sp_idx, _sp_power, inc_idx, _c) = t
+            if sp_idx is not None:
+                cls_s.append(t)
+            elif inc_idx:
+                cls_i.append([t, 0, 0, 0, 0])
+            else:
+                # class E: k-sum and j-sum factorize
+                wsum = sum(w) % _P
+                if wsum == 0:
+                    continue
+                e0 = e1 = e2 = e3 = 0
+                for rest in range(half):
+                    p0 = p1 = p2 = p3 = 1
+                    for ei in eqk_idx:
+                        arr = eqk_all[ei]
+                        a0 = arr[2 * rest]
+                        d = arr[2 * rest + 1] - a0
+                        p0 = p0 * a0 % _P
+                        p1 = p1 * (a0 + d) % _P
+                        p2 = p2 * (a0 + 2 * d) % _P
+                        p3 = p3 * (a0 + 3 * d) % _P
+                    e0 += p0
+                    e1 += p1
+                    e2 += p2
+                    e3 += p3
+                s0 += wsum * e0
+                s1 += wsum * e1
+                s2 += wsum * e2
+                s3 += wsum * e3
+
         for j in range(t_size):
-            for (w, _tabs, eqk_idx, sp_idx, sp_power, inc_idx, _c) in terms:
+            for (w, _tabs, eqk_idx, sp_idx, sp_power, inc_idx, _c) in cls_s:
                 wj = w[j]
                 if wj == 0:
                     continue
-                for p, c in sparse[sp_idx][j]:
-                    rest2 = (p >> 1) * 2
-                    if p & 1:
-                        v0, v1, v2, v3 = 0, c, 2 * c, 3 * c
+                col = sparse[sp_idx][j]
+                if sp_power == 2 and len(col) > 1:
+                    # merge same-pair entries BEFORE squaring: the column's
+                    # restriction to a pair is ONE linear form, so
+                    # (a + b)^2, not a^2 + b^2 (ADVICE round-2 item 1)
+                    acc = {}
+                    for p, c in col:
+                        lo, hi = acc.get(p >> 1, (0, 0))
+                        if p & 1:
+                            hi += c
+                        else:
+                            lo += c
+                        acc[p >> 1] = (lo, hi)
+                    forms = [
+                        (rest, lo % _P, (hi - lo) % _P)
+                        for rest, (lo, hi) in acc.items()
+                    ]
+                else:
+                    forms = None
+                    entries = col
+                for ent in (forms if forms is not None else entries):
+                    if forms is not None:
+                        rest, lo, d = ent
+                        rest2 = rest * 2
+                        v0, v1 = lo, lo + d
+                        v2, v3 = lo + 2 * d, lo + 3 * d
                     else:
-                        v0, v1, v2, v3 = c, 0, -c, -2 * c
+                        p, c = ent
+                        rest2 = (p >> 1) * 2
+                        if p & 1:
+                            v0, v1, v2, v3 = 0, c, 2 * c, 3 * c
+                        else:
+                            v0, v1, v2, v3 = c, 0, -c, -2 * c
                     if sp_power == 2:
                         v0 *= v0
                         v1 *= v1
@@ -206,9 +282,39 @@ class SparseCubeOracle(SumcheckOracle):
                     s1 += v1
                     s2 += v2
                     s3 += v3
+            for rec in cls_i:
+                wj = rec[0][0][j]
+                if wj:
+                    s0 += wj * rec[1]
+                    s1 += wj * rec[2]
+                    s2 += wj * rec[3]
+                    s3 += wj * rec[4]
             for ii, cur in enumerate(inc_cur_all):
                 for p, d in self._inc[ii][j]:
                     cur[p] = (cur[p] + d) % _P
+                    # incremental class-I h update: this delta's linear
+                    # form times the term's eqk forms at the same pair
+                    rest2 = (p >> 1) * 2
+                    for rec in cls_i:
+                        t = rec[0]
+                        if t[5][0] != ii:
+                            continue
+                        if p & 1:
+                            u0, u1, u2, u3 = 0, d, 2 * d, 3 * d
+                        else:
+                            u0, u1, u2, u3 = d, 0, -d, -2 * d
+                        for ei in t[2]:
+                            arr = eqk_all[ei]
+                            a0 = arr[rest2]
+                            da = arr[rest2 + 1] - a0
+                            u0 *= a0
+                            u1 *= a0 + da
+                            u2 *= a0 + 2 * da
+                            u3 *= a0 + 3 * da
+                        rec[1] = (rec[1] + u0) % _P
+                        rec[2] = (rec[2] + u1) % _P
+                        rec[3] = (rec[3] + u2) % _P
+                        rec[4] = (rec[4] + u3) % _P
         return [Fr(v % _P) for v in (s0, s1, s2, s3)]
 
     def _k_bind(self, challenge: Fr) -> None:
@@ -283,7 +389,8 @@ class SparseCubeOracle(SumcheckOracle):
             for ei in eqk_idx:
                 c = c * self._eqk[ei][0] % _P
             tabs = [self._eqj[ji] for ji in eqj_idx]
-            tabs += [sp_tables[sp_idx]] * sp_power
+            if sp_idx is not None:
+                tabs += [sp_tables[sp_idx]] * sp_power
             tabs += [inc_tables[ii] for ii in inc_idx]
             terms.append((c, tabs))
         self._delegate = SumOfProductsOracle(self.log_t, terms)
