@@ -93,11 +93,9 @@ def main() -> None:
     ssp = ShoutSound.prove(stable, prover_params)
     ok = ShoutSound.verify(ssp, stable.entries, verifier_params)
     print(f"  sound Shout proof valid: {ok}")
-    # tamper with the claimed read value -> cryptographic rejection
-    from tnsh.protocols.sound import MLOpening
-
-    tsp.openings[0] = MLOpening(tsp.openings[0].value + Fr(1),
-                                tsp.openings[0].proof)
+    # tamper with the claimed read-value evaluation -> cryptographic
+    # rejection (col_values = [ot, rv, wv] at the sum-check point)
+    tsp.col_values[1] = tsp.col_values[1] + Fr(1)
     print(f"  tampered sound proof rejected: {not TwistSound.verify(tsp, verifier_params)}")
     print("\nDemo complete.")
 

@@ -149,17 +149,23 @@ _SOUND_PROOF_VECTORS = {
     # Locks the sound wire format incl. the j-first cube opening order
     # (tnsh/commit/mkzg_sparse.py) — any change to the constraint pipeline,
     # challenge labels, or quotient decomposition breaks these loudly.
+    #
+    # FORMAT BUMP (round 3, v2): the batched protocol folds all eight
+    # Twist constraints into ONE claim-0 sum-check and pins every
+    # polynomial evaluation with TWO gamma-RLC PST openings (was eight
+    # sum-checks + 16 openings); proofs shrank ~6x and v1 vectors were
+    # retired with the v1 reader (tnsh/core/proof_io.py _SOUND_VERSION).
     4: (
-        (7024, "ca8e1864b6aaf8572d26bb6dee5da4a60ab43f5580b689740931c95590b3d937"),
-        (2448, "ff8f0ab2730f25a438e9da784a8863539c5c6126e2d33f0e45842f0bc40f3db7"),
+        (1280, "fe15a0d7c7eea336b6bf36d12903ba038c5186b5da570883d4aae2a200abd34f"),
+        (944, "44a59504317d1ee44029c01056ccbb2a64d7c8f6e6e07156d1c50cd6430c91a1"),
     ),
     8: (
-        (9928, "fe78d15bd18d4a0650855444d04c3325ea006320d3b279371d5dc4ae62612e4c"),
-        (3488, "88461984db1d2ef7112128dc4950f29a577cf98223ac470c672663053f9f7ee3"),
+        (1648, "cde2f0f9c146d92d2ad7d6d1f8ea03074ff5ca2387ab0ff6dbbef486da87e91f"),
+        (1312, "7bab951a9092bae5bb218ae69bd67be91dd89f114c3fcd2c62db97f5f1d1c04c"),
     ),
     16: (
-        (12832, "814a0c73a2a2ab049713d987f8b7017c3e19f186a93f1d255a9f76ca5b1069cc"),
-        (4528, "6390cb66a1c65a093d5230f93bd31b8ea297347d94ded4b5830d2ecc387039fe"),
+        (2016, "9139c9a87ad807fd3de1e67d52c15612ac6a96d313af4fafe22861b787eef58d"),
+        (1680, "2984f618d43d2266dc57a30618ff4043501b6972c0e2a9d6d2dd81bd05960794"),
     ),
 }
 

@@ -162,8 +162,18 @@ class TestShoutSound:
         table = _sample_table()
         proof = ShoutSound.prove(table, pp)
         bad = copy.deepcopy(proof)
-        bad.rv_at_rho = MLOpening(
-            bad.rv_at_rho.value + Fr(1), bad.rv_at_rho.proof
+        bad.rv_at_r = MLOpening(
+            bad.rv_at_r.value + Fr(1), bad.rv_at_r.proof
+        )
+        assert not ShoutSound.verify(bad, table.entries, vp)
+
+    def test_tampered_ra_opening_rejected(self, params):
+        pp, vp = params
+        table = _sample_table()
+        proof = ShoutSound.prove(table, pp)
+        bad = copy.deepcopy(proof)
+        bad.ra_at_r = MLOpening(
+            bad.ra_at_r.value + Fr(1), bad.ra_at_r.proof
         )
         assert not ShoutSound.verify(bad, table.entries, vp)
 
@@ -172,8 +182,8 @@ class TestShoutSound:
         table = _sample_table()
         proof = ShoutSound.prove(table, pp)
         bad = copy.deepcopy(proof)
-        bad.read_check.final_evaluation = (
-            bad.read_check.final_evaluation + Fr(1)
+        bad.check.final_evaluation = (
+            bad.check.final_evaluation + Fr(1)
         )
         assert not ShoutSound.verify(bad, table.entries, vp)
 
@@ -196,10 +206,11 @@ class TestShoutSound:
 
     def test_malicious_prover_fabricated_rounds_rejected(self, params):
         """A cheating prover commits to WRONG lookup outputs, then pushes
-        the sum-check through with fabricated (self-consistent) constant
-        round polynomials.  Every round passes the g(0)+g(1) chain; only
-        the final-evaluation binding to the PST openings catches it —
-        which is exactly the check the reference does not have."""
+        the batched sum-check through with fabricated all-zero round
+        polynomials (claim 0, so every g(0)+g(1) chain check passes) and
+        HONEST openings of its forged tables.  Only the final-evaluation
+        binding to the PST-opened values catches it — which is exactly the
+        check the reference does not have."""
         pp, vp = params
         table = _sample_table()
         honest = ShoutSound.prove(table, pp)
@@ -224,60 +235,41 @@ class TestShoutSound:
         c_ra = MultilinearKZG.commit(params_n, ra)
         c_rv = MultilinearKZG.commit(params_t, rv)
 
-        from tnsh.protocols.sound import _shout_bind_statement
+        from tnsh.protocols.sound import (
+            _shout_bind_statement,
+            _shout_challenges,
+        )
 
         transcript = Transcript(pp.fiat_shamir_seed)
         _shout_bind_statement(transcript, log_k, log_t, entries, c_ra, c_rv)
+        _shout_challenges(transcript, log_k, log_t)
 
-        def fabricate(num_vars, claimed):
-            """Constant round polys g(X) = claimed/2 each round."""
-            rounds = []
-            cur = int(claimed)
-            challenges = []
-            inv2 = pow(2, MODULUS - 2, MODULUS)
-            for r in range(num_vars):
-                half = cur * inv2 % MODULUS
-                poly = [Fr(half), Fr(0), Fr(0), Fr(0)]
-                rounds.append(poly)
-                transcript.append_field_elements(
-                    f"sumcheck_round_{r}".encode(), poly
-                )
-                c = transcript.challenge_field_element(
-                    f"sumcheck_challenge_{r}".encode()
-                )
-                challenges.append(c)
-                cur = half  # constant poly: g(c) = half
-            return SumCheckProof(rounds, Fr(cur)), challenges
+        # All-zero rounds: g(X) = 0 satisfies g(0)+g(1) = 0 = claim every
+        # round and final_evaluation = 0.
+        rounds = []
+        r = []
+        zero_poly = [Fr(0)] * 4
+        for rnd in range(n):
+            rounds.append(list(zero_poly))
+            transcript.append_field_elements(
+                f"sumcheck_round_{rnd}".encode(), zero_poly
+            )
+            r.append(transcript.challenge_field_element(
+                f"sumcheck_challenge_{rnd}".encode()
+            ))
+        check = SumCheckProof(rounds, Fr(0))
 
-        rho_read = transcript.challenge_field_elements(
-            b"ssound_rho_read", log_t
-        )
-        claimed = _mle_eval(rv, rho_read)
-        read_proof, r1 = fabricate(n, claimed)
-        rho_bool = transcript.challenge_field_elements(b"ssound_rho_bool", n)
-        bool_proof, r2 = fabricate(n, Fr(0))
-        rho_one = transcript.challenge_field_elements(
-            b"ssound_rho_onehot", log_t
-        )
-        onehot_proof, r3 = fabricate(n, Fr(1))
-
-        rv_val, rv_open = MultilinearKZG.open(params_t, rv, rho_read)
-        ra1 = MultilinearKZG.open(params_n, ra, r1)
-        ra2 = MultilinearKZG.open(params_n, ra, r2)
-        ra3 = MultilinearKZG.open(params_n, ra, r3)
+        ra_val, ra_open = MultilinearKZG.open(params_n, ra, r)
+        rv_val, rv_open = MultilinearKZG.open(params_t, rv, r[log_k:])
 
         forged = ShoutSoundProof(
             log_table=log_k,
             log_lookups=log_t,
             ra_commitment=c_ra,
             rv_commitment=c_rv,
-            read_check=read_proof,
-            bool_check=bool_proof,
-            onehot_check=onehot_proof,
-            rv_at_rho=MLOpening(rv_val, rv_open),
-            ra_at_read=MLOpening(*ra1),
-            ra_at_bool=MLOpening(*ra2),
-            ra_at_onehot=MLOpening(*ra3),
+            check=check,
+            ra_at_r=MLOpening(ra_val, ra_open),
+            rv_at_r=MLOpening(rv_val, rv_open),
         )
         assert not ShoutSound.verify(forged, table.entries, vp)
         # sanity: the honest proof still verifies with the same params
@@ -327,42 +319,43 @@ class TestTwistSound:
         proof = TwistSound.prove(tr, pp)
         assert TwistSound.verify(proof, vp)
 
-    def test_tampered_rv_opening_rejected(self, params):
+    def test_tampered_claimed_values_rejected(self, params):
+        """Every claimed polynomial value backing the final-evaluation
+        binding must be pinned by the batched pairing checks — shifting
+        any one (even compensating inside the final-eval formula is
+        impossible: values are transcript-bound before gamma)."""
         pp, vp = params
         proof = TwistSound.prove(_sample_trace(), pp)
-        bad = copy.deepcopy(proof)
-        bad.openings[0] = MLOpening(
-            bad.openings[0].value + Fr(1), bad.openings[0].proof
-        )
-        assert not TwistSound.verify(bad, vp)
-
-    def test_tampered_increment_rejected(self, params):
-        pp, vp = params
-        proof = TwistSound.prove(_sample_trace(), pp)
-        bad = copy.deepcopy(proof)
-        bad.openings[4] = MLOpening(
-            bad.openings[4].value + Fr(1), bad.openings[4].proof
-        )
-        assert not TwistSound.verify(bad, vp)
-
-    def test_tampered_final_evaluations_rejected(self, params):
-        pp, vp = params
-        proof = TwistSound.prove(_sample_trace(), pp)
-        for field in (
-            "read_check", "val_check", "inc_check",
-            "bool_ra_check", "rowsum_ra_check",
-        ):
+        for i in range(4):
             bad = copy.deepcopy(proof)
-            sc = getattr(bad, field)
-            sc.final_evaluation = sc.final_evaluation + Fr(1)
-            assert not TwistSound.verify(bad, vp), field
+            bad.cube_values[i] = bad.cube_values[i] + Fr(1)
+            assert not TwistSound.verify(bad, vp), f"cube value {i}"
+        for i in range(3):
+            bad = copy.deepcopy(proof)
+            bad.col_values[i] = bad.col_values[i] + Fr(1)
+            assert not TwistSound.verify(bad, vp), f"col value {i}"
+
+    def test_tampered_final_evaluation_rejected(self, params):
+        pp, vp = params
+        proof = TwistSound.prove(_sample_trace(), pp)
+        bad = copy.deepcopy(proof)
+        bad.check.final_evaluation = bad.check.final_evaluation + Fr(1)
+        assert not TwistSound.verify(bad, vp)
+
+    def test_tampered_opening_proof_rejected(self, params):
+        pp, vp = params
+        proof = TwistSound.prove(_sample_trace(), pp)
+        bad = copy.deepcopy(proof)
+        bad.cube_proof.quotients[0] = bad.cube_proof.quotients[0].add(
+            bad.cube_proof.quotients[0]
+        )
+        assert not TwistSound.verify(bad, vp)
 
     def test_stale_read_forgery_rejected(self, params):
         """Malicious prover: honest ra/wa/ot/wv/Inc/Val encodings for
-        [write 1=42, write 1=100] but rv claims the read of cell 1
-        returned the STALE 42.  All tables are committed as claimed and
-        all sum-checks are fabricated self-consistently; the READ check's
-        final binding must reject."""
+        [write 1=42, write 1=100] but the read of cell 1 claims the STALE
+        42.  Committing an rv table with the stale value breaks the READ
+        group of the batched sum-check: its final binding must reject."""
         pp, vp = params
         tr = MemoryTrace(8)
         tr.write(1, Fr(42))
@@ -370,10 +363,10 @@ class TestTwistSound:
         tr.read(1)
         honest = TwistSound.prove(tr, pp)
         bad = copy.deepcopy(honest)
-        # rv opening at rho1 backs the READ claimed sum; shifting the rv
-        # commitment to the stale-value table breaks either the opening
-        # (vs the honest commitment) or the claimed sum (vs honest rv).
-        bad.openings[0] = MLOpening(Fr(42), bad.openings[0].proof)
+        # rv~(r_j) backs the READ group's final evaluation; claiming a
+        # different value breaks either the pairing check (vs the honest
+        # commitment) or the final-eval formula.
+        bad.col_values[1] = Fr(42)
         assert not TwistSound.verify(bad, vp)
         assert TwistSound.verify(honest, vp)
 
@@ -399,9 +392,7 @@ class TestTwistSound:
         proof = TwistSound.prove(tr, pp)
         assert TwistSound.verify(proof, vp)
         bad = copy.deepcopy(proof)
-        bad.openings[0] = MLOpening(
-            bad.openings[0].value + Fr(1), bad.openings[0].proof
-        )
+        bad.col_values[1] = bad.col_values[1] + Fr(1)
         assert not TwistSound.verify(bad, vp)
 
 
@@ -462,8 +453,8 @@ class TestSRSHonesty:
             assert ShoutSound.verify(proof, table.entries, vp)
             # tampering still rejected under the external SRS
             bad = copy.deepcopy(proof)
-            bad.rv_at_rho = MLOpening(
-                Fr(int(bad.rv_at_rho.value) + 1), bad.rv_at_rho.proof
+            bad.rv_at_r = MLOpening(
+                Fr(int(bad.rv_at_r.value) + 1), bad.rv_at_r.proof
             )
             assert not ShoutSound.verify(bad, table.entries, vp)
         finally:

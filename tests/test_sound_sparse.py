@@ -65,9 +65,7 @@ class TestTwistSparse:
         trace = _mixed_trace(8, 11, seed=5)
         proof = TwistSound.prove(trace, pp, sparse=True)
         bad = proof
-        bad.openings[0] = MLOpening(
-            Fr(int(bad.openings[0].value) + 1), bad.openings[0].proof
-        )
+        bad.col_values[1] = Fr(int(bad.col_values[1]) + 1)
         assert not TwistSound.verify(bad, vp)
 
     def test_sparse_moderate_scale(self):
@@ -210,7 +208,7 @@ class TestShoutSparse:
         for i in range(8):
             table.lookup(i)
         proof = ShoutSound.prove(table, pp, sparse=True)
-        proof.rv_at_rho = MLOpening(
-            Fr(int(proof.rv_at_rho.value) + 1), proof.rv_at_rho.proof
+        proof.rv_at_r = MLOpening(
+            Fr(int(proof.rv_at_r.value) + 1), proof.rv_at_r.proof
         )
         assert not ShoutSound.verify(proof, table.entries, vp)

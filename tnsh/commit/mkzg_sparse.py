@@ -308,6 +308,69 @@ def open_incremental(params: CubeParams, table: IncrementalCubeTable,
     return _open_j_then_k(params, s, make_g, point)
 
 
+def sparse_mle_eval(table: SparseCubeTable, point: Sequence[Fr]) -> Fr:
+    """~table(point) for a column-sparse cube table, O(nnz + T + K)."""
+    eqk = eq_table_ints([int(p) for p in point[:table.log_k]])
+    eqj = eq_table_ints([int(p) for p in point[table.log_k:]])
+    acc = 0
+    for j, col in enumerate(table.cols):
+        if col:
+            acc += eqj[j] * sum(v * eqk[k] for k, v in col)
+    return Fr(acc % _P)
+
+
+def open_combined(params: CubeParams,
+                  sparse_parts: Sequence[Tuple[int, SparseCubeTable]],
+                  inc_parts: Sequence[Tuple[int, IncrementalCubeTable]],
+                  point: Sequence[Fr]) -> Tuple[Fr, MLOpeningProof]:
+    """Open the random linear combination sum_i c_i*S_i + sum_m d_m*V_m
+    (S column-sparse, V column-incremental) with ONE j-first quotient set.
+
+    This is the prover side of RLC opening batching (VERDICT round-2 task
+    1): all cube polynomials opened at the same sum-check point fold into
+    one polynomial BEFORE the quotients are computed, so the whole batch
+    costs one opening's MSM work (~T+K point-ops) instead of one per
+    polynomial.  Byte-identical to ``open_dense_cube`` on the pointwise
+    RLC of the dense tables (locked by tests/test_sound_sparse.py)."""
+    eqk = params.eqk_tables[0]
+    t_size = 1 << params.log_t
+    s = [0] * t_size
+    for c, tab in sparse_parts:
+        c = int(c) % _P
+        for j, col in enumerate(tab.cols):
+            if col:
+                s[j] = (s[j] + c * sum(v * eqk[k] for k, v in col)) % _P
+    for d, tab in inc_parts:
+        d = int(d) % _P
+        cur = 0
+        for j, ups in enumerate(tab.updates):
+            s[j] = (s[j] + d * cur) % _P
+            for k, dv in ups:
+                cur = (cur + dv * eqk[k]) % _P
+
+    def make_g(eqw: List[int]) -> List[int]:
+        g = [0] * (1 << params.log_k)
+        for c, tab in sparse_parts:
+            c = int(c) % _P
+            for j, col in enumerate(tab.cols):
+                w = eqw[j] * c % _P
+                for k, v in col:
+                    g[k] = (g[k] + w * v) % _P
+        if inc_parts:
+            suffix = [0] * (t_size + 1)
+            for j in range(t_size - 1, -1, -1):
+                suffix[j] = (suffix[j + 1] + eqw[j]) % _P
+            for d, tab in inc_parts:
+                d = int(d) % _P
+                for j, ups in enumerate(tab.updates):
+                    w = suffix[j + 1] * d % _P
+                    for k, dv in ups:
+                        g[k] = (g[k] + w * dv) % _P
+        return g
+
+    return _open_j_then_k(params, s, make_g, point)
+
+
 def open_dense_cube(params: CubeParams, dense: Sequence,
                     point: Sequence[Fr]) -> Tuple[Fr, MLOpeningProof]:
     """j-first opening of a DENSE (k, j) table (index = j*K + k) — the

@@ -133,67 +133,85 @@ def shout_proof_from_bytes(data: bytes):
 
 # -- verifier-enforced sound proofs (tnsh extension) -------------------------
 #
+# Format version 2 (round 3): the batched protocol — ONE sum-check (claim
+# 0), all cube/column evaluations pinned by TWO gamma-RLC PST openings
+# (see tnsh/protocols/sound.py module docstring).  v1 blobs (eight
+# sum-checks + 16 individual openings) are no longer readable.
+#
 #   MLOpening:       value 32B | n_quotients u64 | quotients (G1c each)
-#   TwistSoundProof: magic 'TWSS' ver u32 | log_memory u64 | log_ops u64 |
-#                    7 x G1c commitments | 8 x sumcheck | n_openings u64 |
-#                    openings
-#   ShoutSoundProof: magic 'SHSS' ver u32 | log_table u64 | log_lookups u64 |
-#                    2 x G1c | 3 x sumcheck | 4 x MLOpening
+#   MLProof:         n_quotients u64 | quotients (G1c each)
+#   TwistSoundProof: magic 'TWSS' ver=2 u32 | log_memory u64 | log_ops u64 |
+#                    7 x G1c commitments | sumcheck | fr_vec cube_values |
+#                    fr_vec col_values | MLProof cube | MLProof col
+#   ShoutSoundProof: magic 'SHSS' ver=2 u32 | log_table u64 | log_lookups
+#                    u64 | 2 x G1c | sumcheck | MLOpening ra | MLOpening rv
 
-def _ml_opening_to_bytes(opening) -> bytes:
-    out = [opening.value.to_bytes_le()]
-    out.append(struct.pack("<Q", len(opening.proof.quotients)))
-    for q in opening.proof.quotients:
+_SOUND_VERSION = 2
+
+
+def _ml_proof_to_bytes(proof) -> bytes:
+    out = [struct.pack("<Q", len(proof.quotients))]
+    for q in proof.quotients:
         out.append(g1_to_bytes(q, compress=True))
     return b"".join(out)
 
 
-def _ml_opening_from_bytes(data: bytes, offset: int):
+def _ml_proof_from_bytes(data: bytes, offset: int):
     from ..commit.mkzg import MLOpeningProof
-    from ..protocols.sound import MLOpening
 
-    value = fr_from_bytes(data[offset:offset + 32])
-    offset += 32
     (n,) = struct.unpack_from("<Q", data, offset)
     offset += 8
     qs = []
     for _ in range(n):
         qs.append(g1_from_bytes(data[offset:offset + 32]))
         offset += 32
-    return MLOpening(value, MLOpeningProof(qs)), offset
+    return MLOpeningProof(qs), offset
 
 
-_TWIST_SOUND_SC_FIELDS = (
-    "read_check", "val_check", "inc_check", "bool_ra_check",
-    "bool_wa_check", "bool_ot_check", "rowsum_ra_check", "rowsum_wa_check",
-)
+def _ml_opening_to_bytes(opening) -> bytes:
+    return opening.value.to_bytes_le() + _ml_proof_to_bytes(opening.proof)
+
+
+def _ml_opening_from_bytes(data: bytes, offset: int):
+    from ..protocols.sound import MLOpening
+
+    value = fr_from_bytes(data[offset:offset + 32])
+    offset += 32
+    proof, offset = _ml_proof_from_bytes(data, offset)
+    return MLOpening(value, proof), offset
+
+
 _TWIST_SOUND_COMMITMENTS = (
     "ra_commitment", "wa_commitment", "inc_commitment", "val_commitment",
     "ot_commitment", "rv_commitment", "wv_commitment",
 )
 
 
+def _check_sound_header(magic: bytes, data: bytes) -> None:
+    if data[:4] != magic:
+        raise InvalidParametersError(f"bad proof magic (want {magic!r})")
+    (ver,) = struct.unpack_from("<I", data, 4)
+    if ver != _SOUND_VERSION:
+        raise InvalidParametersError(f"unsupported proof version {ver}")
+
+
 def twist_sound_proof_to_bytes(proof) -> bytes:
-    out = [b"TWSS", struct.pack("<I", _VERSION)]
+    out = [b"TWSS", struct.pack("<I", _SOUND_VERSION)]
     out.append(struct.pack("<QQ", proof.log_memory, proof.log_ops))
     for name in _TWIST_SOUND_COMMITMENTS:
         out.append(g1_to_bytes(getattr(proof, name).commitment, compress=True))
-    for name in _TWIST_SOUND_SC_FIELDS:
-        out.append(sumcheck_proof_to_bytes(getattr(proof, name)))
-    out.append(struct.pack("<Q", len(proof.openings)))
-    for opening in proof.openings:
-        out.append(_ml_opening_to_bytes(opening))
+    out.append(sumcheck_proof_to_bytes(proof.check))
+    out.append(write_fr_vec(proof.cube_values))
+    out.append(write_fr_vec(proof.col_values))
+    out.append(_ml_proof_to_bytes(proof.cube_proof))
+    out.append(_ml_proof_to_bytes(proof.col_proof))
     return b"".join(out)
 
 
 def twist_sound_proof_from_bytes(data: bytes):
     from ..protocols.sound import TwistSoundProof
 
-    if data[:4] != b"TWSS":
-        raise InvalidParametersError("bad proof magic (want b'TWSS')")
-    (ver,) = struct.unpack_from("<I", data, 4)
-    if ver != _VERSION:
-        raise InvalidParametersError(f"unsupported proof version {ver}")
+    _check_sound_header(b"TWSS", data)
     offset = 8
     log_memory, log_ops = struct.unpack_from("<QQ", data, offset)
     offset += 16
@@ -201,39 +219,29 @@ def twist_sound_proof_from_bytes(data: bytes):
     for name in _TWIST_SOUND_COMMITMENTS:
         kwargs[name] = KZGCommitmentValue(g1_from_bytes(data[offset:offset + 32]))
         offset += 32
-    for name in _TWIST_SOUND_SC_FIELDS:
-        kwargs[name], offset = sumcheck_proof_from_bytes(data, offset)
-    (n_open,) = struct.unpack_from("<Q", data, offset)
-    offset += 8
-    openings = []
-    for _ in range(n_open):
-        opening, offset = _ml_opening_from_bytes(data, offset)
-        openings.append(opening)
-    kwargs["openings"] = openings
+    kwargs["check"], offset = sumcheck_proof_from_bytes(data, offset)
+    kwargs["cube_values"], offset = read_fr_vec(data, offset)
+    kwargs["col_values"], offset = read_fr_vec(data, offset)
+    kwargs["cube_proof"], offset = _ml_proof_from_bytes(data, offset)
+    kwargs["col_proof"], offset = _ml_proof_from_bytes(data, offset)
     return TwistSoundProof(**kwargs)
 
 
 def shout_sound_proof_to_bytes(proof) -> bytes:
-    out = [b"SHSS", struct.pack("<I", _VERSION)]
+    out = [b"SHSS", struct.pack("<I", _SOUND_VERSION)]
     out.append(struct.pack("<QQ", proof.log_table, proof.log_lookups))
     out.append(g1_to_bytes(proof.ra_commitment.commitment, compress=True))
     out.append(g1_to_bytes(proof.rv_commitment.commitment, compress=True))
-    for sc in (proof.read_check, proof.bool_check, proof.onehot_check):
-        out.append(sumcheck_proof_to_bytes(sc))
-    for opening in (proof.rv_at_rho, proof.ra_at_read, proof.ra_at_bool,
-                    proof.ra_at_onehot):
-        out.append(_ml_opening_to_bytes(opening))
+    out.append(sumcheck_proof_to_bytes(proof.check))
+    out.append(_ml_opening_to_bytes(proof.ra_at_r))
+    out.append(_ml_opening_to_bytes(proof.rv_at_r))
     return b"".join(out)
 
 
 def shout_sound_proof_from_bytes(data: bytes):
     from ..protocols.sound import ShoutSoundProof
 
-    if data[:4] != b"SHSS":
-        raise InvalidParametersError("bad proof magic (want b'SHSS')")
-    (ver,) = struct.unpack_from("<I", data, 4)
-    if ver != _VERSION:
-        raise InvalidParametersError(f"unsupported proof version {ver}")
+    _check_sound_header(b"SHSS", data)
     offset = 8
     log_table, log_lookups = struct.unpack_from("<QQ", data, offset)
     offset += 16
@@ -241,26 +249,17 @@ def shout_sound_proof_from_bytes(data: bytes):
     offset += 32
     c_rv = KZGCommitmentValue(g1_from_bytes(data[offset:offset + 32]))
     offset += 32
-    scs = []
-    for _ in range(3):
-        sc, offset = sumcheck_proof_from_bytes(data, offset)
-        scs.append(sc)
-    opens = []
-    for _ in range(4):
-        opening, offset = _ml_opening_from_bytes(data, offset)
-        opens.append(opening)
+    check, offset = sumcheck_proof_from_bytes(data, offset)
+    ra_at_r, offset = _ml_opening_from_bytes(data, offset)
+    rv_at_r, offset = _ml_opening_from_bytes(data, offset)
     return ShoutSoundProof(
         log_table=log_table,
         log_lookups=log_lookups,
         ra_commitment=c_ra,
         rv_commitment=c_rv,
-        read_check=scs[0],
-        bool_check=scs[1],
-        onehot_check=scs[2],
-        rv_at_rho=opens[0],
-        ra_at_read=opens[1],
-        ra_at_bool=opens[2],
-        ra_at_onehot=opens[3],
+        check=check,
+        ra_at_r=ra_at_r,
+        rv_at_r=rv_at_r,
     )
 
 

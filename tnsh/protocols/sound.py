@@ -6,42 +6,52 @@ KZG openings are never tied to the sum-check claim (twist.rs:219-243).
 ``Twist.prove(sound_mode=True)`` upgraded that to an honest-prover
 self-check, but the verifier still could not reject a lying prover.
 
-This module closes the gap: every claim a sum-check reduces to is checked
-by the verifier against PST multilinear-KZG openings
-(tnsh.commit.mkzg), so a forged trace/lookup log is rejected
-cryptographically.  The encodings follow the Twist/Shout papers' shape —
-one-hot read/write address matrices bound by booleanity + row-sum checks,
-value evolution via increment bookkeeping, and a less-than ordering kernel
-for the prefix sums:
+This module closes the gap: the verifier checks every constraint against
+PST multilinear-KZG openings (tnsh.commit.mkzg), so a forged trace/lookup
+log is rejected cryptographically.  The encodings follow the Twist/Shout
+papers' shape — one-hot read/write address matrices bound by booleanity +
+row-sum checks, value evolution via increment bookkeeping, and a less-than
+ordering kernel for the prefix sums.
 
-Shout (read-only lookups; table is public):
-  witness:  ra(k,j)  one-hot lookup-address matrix   (logK+logT vars)
-            rv(j)    claimed lookup outputs           (logT vars)
-  checks:   READ     rv~(rho) = sum_{k,j} eq(rho,j) ra(k,j) T~(k)
-            BOOL     0 = sum eq(rho',(k,j)) ra (ra - 1)
-            ONE-HOT  1 = sum eq(rho'',j) ra   (every cycle looks up once)
+Protocol (format v2, the BATCHED design — VERDICT round-2 task 1): every
+constraint folds into ONE degree-<=3 sum-check over the (k, j) cube with
+total claim ZERO, by two standard moves:
 
-Twist (read-write memory):
-  witness:  ra, wa   one-hot read/write address matrices
-            ot       op-type column (1 = write)
-            wv, rv   write-value / read-value columns
-            Inc(k,j) value increment applied by cycle j to cell k
-            Val(k,j) value of cell k entering cycle j
-  checks:   READ     rv~(rho1)  = sum eq(rho1,j) ra Val
-            VAL      Val~(tau)  = sum_{k,j'} eq(tau_k,k) lt~(j',tau_j) Inc
-                     (memory starts at zero: the empty prefix sum IS 0)
-            INC      0 = sum eq(sigma,(k,j)) (Inc - wa wv + wa Val)
-            BOOL     ra, wa, ot boolean
-            ROW-SUM  sum_k ra(k,j) = 1 - ot(j);  sum_k wa(k,j) = ot(j)
+  * column constraints lift to the cube with a 1/K coefficient
+    (sum_{k,j} (1/K) * h(j) = sum_j h(j)), so claims like
+    "rv(j) = sum_k ra*Val" become cube terms instead of separate openings;
+  * point evaluations rewrite as eq-weighted sums
+    (Val~(tau) = sum_{k,j} eq(tau,(k,j)) Val(k,j) — a column-incremental
+    term with no sparse factor, the oracle's "class I").
 
-  (rv/wv gating at wrong-typed rows is implied: a write row has a zero ra
-  row so READ forces rv(j) = 0, and wv only enters through wa * wv.)
+Shout (read-only lookups; public table T), batching challenge alpha:
+  0 = sum_{k,j}  eq(rho_r,j) ra T~(k) - (1/K) eq(rho_r,j) rv(j)   READ
+     + a   [ eq(rho_b,(k,j)) ra (ra-1) ]                           BOOL
+     + a^2 [ eq(rho_o,j) ra - (1/K) eq(rho_o,j) ]                  ONE-HOT
 
-Each check is one degree-<=3 sum-check (SumOfProductsOracle); the final
-evaluation is recomputed by the verifier from eq/lt closed forms (O(log)
-field work) and PST openings (pairing products).  All challenges come from
-the same Fiat-Shamir transcript stack as the parity protocols, so proofs
-are deterministic and replayable.
+Twist (read-write memory), batching challenge alpha:
+  0 = sum_{k,j}  eq(rho1,j) ra Val - (1/K) eq(rho1,j) rv(j)        READ
+     + a   [ eq(tau,(k,j)) Val - eq(tau_k,k) lt~(j,tau_j) Inc ]    VAL
+     + a^2 [ eq(sigma,(k,j)) (Inc - wa wv + wa Val) ]              INC
+     + a^3 [ eq(rho4,(k,j)) ra (ra-1) ]                            BOOL ra
+     + a^4 [ eq(rho5,(k,j)) wa (wa-1) ]                            BOOL wa
+     + a^5 [ eq(rho6,j) ot (ot-1) ]                                BOOL ot
+     + a^6 [ eq(rho7,j) ra + (1/K) eq(rho7,j) (ot-1) ]             ROW ra
+     + a^7 [ eq(rho8,j) wa - (1/K) eq(rho8,j) ot ]                 ROW wa
+
+The sum-check reduces the whole statement to ONE evaluation point r; the
+verifier recomputes the final evaluation from eq/lt closed forms (O(log)
+field work) and from the claimed polynomial values at r, then pairing-checks
+those values with just TWO batched PST openings: a gamma-RLC of the cube
+polynomials (ra, wa, inc, val) at r and a gamma-RLC of the time columns
+(ot, rv, wv) at r_j.  The claimed values are bound into the transcript
+BEFORE gamma is drawn (adaptive-value forgeries on the RLC are otherwise
+possible).  All challenges come from the same Fiat-Shamir transcript stack
+as the parity protocols, so proofs are deterministic and replayable.
+
+(Format v1 — eight separate sum-checks and 16 individual openings — was
+retired in round 3; 11 of its 14.2 warm seconds at K=2^10 T=2^16 were
+opening MSMs the batching above removes.)
 """
 
 from __future__ import annotations
@@ -64,15 +74,17 @@ from ..commit.mkzg_sparse import (
     commit_sparse,
     cube_params,
     eq_table_ints,
+    open_combined,
     open_dense_cube,
-    open_incremental,
     open_sparse,
+    sparse_mle_eval,
 )
 from ..iop.sparse_oracle import SparseCubeOracle
 from ..core.params import ProverParams, VerifierParams
 from ..core.transcript import Transcript
 from ..errors import InvalidParametersError
 from ..field.fr import MODULUS, Fr
+from ..field.g1 import G1
 from ..iop.sumcheck import SumCheck, SumCheckProof, SumOfProductsOracle
 from ..poly.eq import eq_eval, eq_table, lt_eval, lt_partial_table
 from .shout import LookupTable
@@ -159,6 +171,22 @@ def _open_cube_dense(params_n, log_k: int, log_t: int, table, point):
     return open_dense_cube(cube_params(log_k, log_t), table, point)
 
 
+def _rlc_tables(tables: Sequence[Sequence[int]], gamma: int) -> List[int]:
+    """Pointwise sum_i gamma^i * tables[i] mod p."""
+    out = [int(v) % _P for v in tables[0]]
+    w = 1
+    for tab in tables[1:]:
+        w = w * gamma % _P
+        for i, v in enumerate(tab):
+            out[i] = (out[i] + w * int(v)) % _P
+    return out
+
+
+def _kinv(log_k: int) -> int:
+    """1/K mod p — the lift coefficient for column constraints."""
+    return pow((1 << log_k) % _P, _P - 2, _P)
+
+
 # ===========================================================================
 # Shout
 # ===========================================================================
@@ -169,13 +197,12 @@ class ShoutSoundProof:
     log_lookups: int
     ra_commitment: KZGCommitmentValue
     rv_commitment: KZGCommitmentValue
-    read_check: SumCheckProof
-    bool_check: SumCheckProof
-    onehot_check: SumCheckProof
-    rv_at_rho: MLOpening
-    ra_at_read: MLOpening
-    ra_at_bool: MLOpening
-    ra_at_onehot: MLOpening
+    #: the single batched sum-check (claim 0)
+    check: SumCheckProof
+    #: ra~(r) with its PST proof (r = the sum-check point)
+    ra_at_r: MLOpening
+    #: rv~(r_j) with its PST proof
+    rv_at_r: MLOpening
 
 
 class ShoutSound:
@@ -220,52 +247,39 @@ class ShoutSound:
 
         transcript = Transcript(prover_params.fiat_shamir_seed)
         _shout_bind_statement(transcript, log_k, log_t, entries, c_ra, c_rv)
+        rho_r, rho_b, rho_o, alpha = _shout_challenges(transcript, log_k, log_t)
 
-        # READ: rv~(rho) = sum_{k,j} eq(rho,j) ra(k,j) table~(k)
-        rho_read = transcript.challenge_field_elements(b"ssound_rho_read", log_t)
-        claimed_read = _mle_eval(rv, rho_read)
-        eq_j = _lift_j(eq_table(rho_read), k_size)
+        a, a2 = int(alpha), int(alpha) ** 2 % _P
+        kinv = _kinv(log_k)
+        eq_r = _lift_j(eq_table(rho_r), k_size)
+        eq_b = eq_table(rho_b)
+        eq_o = _lift_j(eq_table(rho_o), k_size)
         tab_k = _lift_k(entries, t_size)
-        oracle = SumOfProductsOracle(n, [(1, [eq_j, ra, tab_k])])
-        read_proof, r1 = SumCheck(n, claimed_read).prove_with_challenges(
-            oracle, transcript
-        )
+        rv_l = _lift_j(rv, k_size)
+        oracle = SumOfProductsOracle(n, [
+            (1, [eq_r, ra, tab_k]),
+            (_P - kinv, [eq_r, rv_l]),
+            (a, [eq_b, ra, ra]),
+            (_P - a, [eq_b, ra]),
+            (a2, [eq_o, ra]),
+            (a2 * (_P - kinv) % _P, [eq_o]),
+        ])
+        check, r = SumCheck(n, Fr(0)).prove_with_challenges(oracle, transcript)
 
-        # BOOL: 0 = sum eq(rho',(k,j)) ra (ra - 1)
-        rho_bool = transcript.challenge_field_elements(b"ssound_rho_bool", n)
-        eq_b = eq_table(rho_bool)
-        oracle = SumOfProductsOracle(
-            n, [(1, [eq_b, ra, ra]), (_P - 1, [eq_b, ra])]
-        )
-        bool_proof, r2 = SumCheck(n, Fr(0)).prove_with_challenges(
-            oracle, transcript
-        )
-
-        # ONE-HOT: 1 = sum eq(rho'',j) ra
-        rho_one = transcript.challenge_field_elements(b"ssound_rho_onehot", log_t)
-        eq_o = _lift_j(eq_table(rho_one), k_size)
-        oracle = SumOfProductsOracle(n, [(1, [eq_o, ra])])
-        onehot_proof, r3 = SumCheck(n, Fr(1)).prove_with_challenges(
-            oracle, transcript
-        )
-
-        rv_val, rv_open = MultilinearKZG.open(params_t, rv, rho_read)
-        ra1_val, ra1_open = _open_cube_dense(params_n, log_k, log_t, ra, r1)
-        ra2_val, ra2_open = _open_cube_dense(params_n, log_k, log_t, ra, r2)
-        ra3_val, ra3_open = _open_cube_dense(params_n, log_k, log_t, ra, r3)
+        v_ra = _mle_eval(ra, r)
+        v_rv = _mle_eval(rv, r[log_k:])
+        ra_val, ra_proof = _open_cube_dense(params_n, log_k, log_t, ra, r)
+        rv_val, rv_proof = MultilinearKZG.open(params_t, rv, r[log_k:])
+        assert int(ra_val) == int(v_ra) and int(rv_val) == int(v_rv)
 
         return ShoutSoundProof(
             log_table=log_k,
             log_lookups=log_t,
             ra_commitment=c_ra,
             rv_commitment=c_rv,
-            read_check=read_proof,
-            bool_check=bool_proof,
-            onehot_check=onehot_proof,
-            rv_at_rho=MLOpening(rv_val, rv_open),
-            ra_at_read=MLOpening(ra1_val, ra1_open),
-            ra_at_bool=MLOpening(ra2_val, ra2_open),
-            ra_at_onehot=MLOpening(ra3_val, ra3_open),
+            check=check,
+            ra_at_r=MLOpening(v_ra, ra_proof),
+            rv_at_r=MLOpening(v_rv, rv_proof),
         )
 
     @staticmethod
@@ -274,14 +288,14 @@ class ShoutSound:
         """Sparse prover: identical proof bytes to the dense path, but
         O(T + K) memory and O((K + T) polylog) work — commits are T-point
         MSMs over the factorized cube SRS (tnsh.commit.mkzg_sparse) and
-        the sum-checks run on SparseCubeOracle."""
+        the batched sum-check runs on SparseCubeOracle."""
         if has_external_multilinear_srs(log_k + log_t):
             raise InvalidParametersError(
                 "sparse sound proving needs the deterministic factorized "
                 "SRS (tau_k); an external ceremony SRS is installed for "
                 "this variable count — use the dense prover (sparse=False)"
             )
-        k_size, t_size = 1 << log_k, 1 << log_t
+        t_size = 1 << log_t
         n = log_k + log_t
         ra = SparseCubeTable(log_k, log_t)
         rv = [0] * t_size
@@ -300,54 +314,39 @@ class ShoutSound:
 
         transcript = Transcript(prover_params.fiat_shamir_seed)
         _shout_bind_statement(transcript, log_k, log_t, entries, c_ra, c_rv)
+        rho_r, rho_b, rho_o, alpha = _shout_challenges(transcript, log_k, log_t)
 
-        rho_read = transcript.challenge_field_elements(b"ssound_rho_read", log_t)
-        claimed_read = _mle_eval(rv, rho_read)
+        a, a2 = int(alpha), int(alpha) ** 2 % _P
+        kinv = _kinv(log_k)
+        eq_r = eq_table(rho_r)
+        ekb = eq_table(rho_b[:log_k])
+        ejb = eq_table(rho_b[log_k:])
+        eq_o = eq_table(rho_o)
         oracle = SparseCubeOracle(log_k, log_t, [
-            (1, [("eqj", eq_table(rho_read)), ("colsparse", ra),
-                 ("eqk", entries)]),
-        ])
-        read_proof, r1 = SumCheck(n, claimed_read).prove_with_challenges(
-            oracle, transcript
-        )
-
-        rho_bool = transcript.challenge_field_elements(b"ssound_rho_bool", n)
-        ek = eq_table(rho_bool[:log_k])
-        ej = eq_table(rho_bool[log_k:])
-        oracle = SparseCubeOracle(log_k, log_t, [
-            (1, [("eqk", ek), ("eqj", ej), ("colsparse", ra),
+            (1, [("eqj", eq_r), ("colsparse", ra), ("eqk", entries)]),
+            (_P - kinv, [("eqj", eq_r), ("eqj", rv)]),
+            (a, [("eqk", ekb), ("eqj", ejb), ("colsparse", ra),
                  ("colsparse", ra)]),
-            (_P - 1, [("eqk", ek), ("eqj", ej), ("colsparse", ra)]),
+            (_P - a, [("eqk", ekb), ("eqj", ejb), ("colsparse", ra)]),
+            (a2, [("eqj", eq_o), ("colsparse", ra)]),
+            (a2 * (_P - kinv) % _P, [("eqj", eq_o)]),
         ])
-        bool_proof, r2 = SumCheck(n, Fr(0)).prove_with_challenges(
-            oracle, transcript
-        )
+        check, r = SumCheck(n, Fr(0)).prove_with_challenges(oracle, transcript)
 
-        rho_one = transcript.challenge_field_elements(b"ssound_rho_onehot", log_t)
-        oracle = SparseCubeOracle(log_k, log_t, [
-            (1, [("eqj", eq_table(rho_one)), ("colsparse", ra)]),
-        ])
-        onehot_proof, r3 = SumCheck(n, Fr(1)).prove_with_challenges(
-            oracle, transcript
-        )
-
-        rv_val, rv_open = MultilinearKZG.open(params_t, rv, rho_read)
-        ra1_val, ra1_open = open_sparse(cp, ra, r1)
-        ra2_val, ra2_open = open_sparse(cp, ra, r2)
-        ra3_val, ra3_open = open_sparse(cp, ra, r3)
+        v_ra = sparse_mle_eval(ra, r)
+        v_rv = _mle_eval(rv, r[log_k:])
+        ra_val, ra_proof = open_sparse(cp, ra, r)
+        rv_val, rv_proof = MultilinearKZG.open(params_t, rv, r[log_k:])
+        assert int(ra_val) == int(v_ra) and int(rv_val) == int(v_rv)
 
         return ShoutSoundProof(
             log_table=log_k,
             log_lookups=log_t,
             ra_commitment=c_ra,
             rv_commitment=c_rv,
-            read_check=read_proof,
-            bool_check=bool_proof,
-            onehot_check=onehot_proof,
-            rv_at_rho=MLOpening(rv_val, rv_open),
-            ra_at_read=MLOpening(ra1_val, ra1_open),
-            ra_at_bool=MLOpening(ra2_val, ra2_open),
-            ra_at_onehot=MLOpening(ra3_val, ra3_open),
+            check=check,
+            ra_at_r=MLOpening(v_ra, ra_proof),
+            rv_at_r=MLOpening(v_rv, rv_proof),
         )
 
     @staticmethod
@@ -369,43 +368,29 @@ class ShoutSound:
             transcript, log_k, log_t, entries,
             proof.ra_commitment, proof.rv_commitment,
         )
+        rho_r, rho_b, rho_o, alpha = _shout_challenges(transcript, log_k, log_t)
 
-        rho_read = transcript.challenge_field_elements(b"ssound_rho_read", log_t)
-        claimed_read = proof.rv_at_rho.value
-        ok, r1 = SumCheck(n, claimed_read).verify(proof.read_check, transcript)
+        ok, r = SumCheck(n, Fr(0)).verify(proof.check, transcript)
         if not ok:
             return False
+        r_k, r_j = r[:log_k], r[log_k:]
 
-        rho_bool = transcript.challenge_field_elements(b"ssound_rho_bool", n)
-        ok, r2 = SumCheck(n, Fr(0)).verify(proof.bool_check, transcript)
-        if not ok:
-            return False
-
-        rho_one = transcript.challenge_field_elements(b"ssound_rho_onehot", log_t)
-        ok, r3 = SumCheck(n, Fr(1)).verify(proof.onehot_check, transcript)
-        if not ok:
-            return False
-
-        # Final-evaluation equations (the binding the reference lacks).
-        ra1, ra2, ra3 = (
-            proof.ra_at_read.value,
-            proof.ra_at_bool.value,
-            proof.ra_at_onehot.value,
-        )
-        want_read = (
-            int(eq_eval(rho_read, r1[log_k:]))
-            * int(ra1) % _P
-            * int(_mle_eval(entries, r1[:log_k])) % _P
-        )
-        if int(proof.read_check.final_evaluation) != want_read:
-            return False
-        want_bool = (
-            int(eq_eval(rho_bool, r2)) * int(ra2) % _P * ((int(ra2) - 1) % _P) % _P
-        )
-        if int(proof.bool_check.final_evaluation) != want_bool:
-            return False
-        want_one = int(eq_eval(rho_one, r3[log_k:])) * int(ra3) % _P
-        if int(proof.onehot_check.final_evaluation) != want_one:
+        # Final-evaluation binding (the check the reference lacks).
+        a = int(alpha)
+        a2 = a * a % _P
+        kinv = _kinv(log_k)
+        v_ra = int(proof.ra_at_r.value)
+        v_rv = int(proof.rv_at_r.value)
+        e_r = int(eq_eval(rho_r, r_j))
+        e_o = int(eq_eval(rho_o, r_j))
+        want = (
+            e_r * v_ra % _P * int(_mle_eval(entries, r_k))
+            - kinv * e_r % _P * v_rv
+            + a * int(eq_eval(rho_b, r)) % _P * v_ra % _P * ((v_ra - 1) % _P)
+            + a2 * e_o % _P * v_ra
+            - a2 * kinv % _P * e_o
+        ) % _P
+        if int(proof.check.final_evaluation) != want:
             return False
 
         from ..commit.mkzg import batch_verify_openings
@@ -413,14 +398,10 @@ class ShoutSound:
         vk_n = multilinear_verification_key(n)
         vk_t = multilinear_verification_key(log_t)
         return batch_verify_openings([
-            (vk_t, proof.rv_commitment, rho_read,
-             proof.rv_at_rho.value, proof.rv_at_rho.proof),
-            (vk_n, proof.ra_commitment, r1,
-             proof.ra_at_read.value, proof.ra_at_read.proof),
-            (vk_n, proof.ra_commitment, r2,
-             proof.ra_at_bool.value, proof.ra_at_bool.proof),
-            (vk_n, proof.ra_commitment, r3,
-             proof.ra_at_onehot.value, proof.ra_at_onehot.proof),
+            (vk_n, proof.ra_commitment, r,
+             proof.ra_at_r.value, proof.ra_at_r.proof),
+            (vk_t, proof.rv_commitment, r_j,
+             proof.rv_at_r.value, proof.rv_at_r.proof),
         ])
 
 
@@ -432,6 +413,7 @@ def _shout_bind_statement(
     c_ra: KZGCommitmentValue,
     c_rv: KZGCommitmentValue,
 ) -> None:
+    transcript.append_field_element(b"ssound_version", Fr(2))
     transcript.append_field_element(b"ssound_log_table", Fr(log_k))
     transcript.append_field_element(b"ssound_log_lookups", Fr(log_t))
     transcript.append_field_elements(
@@ -439,6 +421,15 @@ def _shout_bind_statement(
     )
     transcript.append_field_element(b"ssound_ra_commitment", c_ra.hash())
     transcript.append_field_element(b"ssound_rv_commitment", c_rv.hash())
+
+
+def _shout_challenges(transcript: Transcript, log_k: int, log_t: int):
+    n = log_k + log_t
+    rho_r = transcript.challenge_field_elements(b"ssound_rho_read", log_t)
+    rho_b = transcript.challenge_field_elements(b"ssound_rho_bool", n)
+    rho_o = transcript.challenge_field_elements(b"ssound_rho_onehot", log_t)
+    alpha = transcript.challenge_field_element(b"ssound_alpha")
+    return rho_r, rho_b, rho_o, alpha
 
 
 # ===========================================================================
@@ -456,16 +447,16 @@ class TwistSoundProof:
     ot_commitment: KZGCommitmentValue
     rv_commitment: KZGCommitmentValue
     wv_commitment: KZGCommitmentValue
-    read_check: SumCheckProof
-    val_check: SumCheckProof
-    inc_check: SumCheckProof
-    bool_ra_check: SumCheckProof
-    bool_wa_check: SumCheckProof
-    bool_ot_check: SumCheckProof
-    rowsum_ra_check: SumCheckProof
-    rowsum_wa_check: SumCheckProof
-    #: openings, in verification order (see _twist_openings_spec)
-    openings: List[MLOpening]
+    #: the single batched sum-check (claim 0)
+    check: SumCheckProof
+    #: [ra~(r), wa~(r), inc~(r), val~(r)] — backed by cube_proof
+    cube_values: List[Fr]
+    #: [ot~(r_j), rv~(r_j), wv~(r_j)] — backed by col_proof
+    col_values: List[Fr]
+    #: PST proof for the gamma-RLC of (ra, wa, inc, val) at r
+    cube_proof: MLOpeningProof
+    #: PST proof for the gamma-RLC of (ot, rv, wv) at r_j
+    col_proof: MLOpeningProof
 
 
 class TwistSound:
@@ -534,90 +525,65 @@ class TwistSound:
             transcript, log_k, log_t,
             c_ra, c_wa, c_inc, c_val, c_ot, c_rv, c_wv,
         )
+        ch = _twist_challenges(transcript, log_k, log_t)
+        (rho1, tau, sigma, rho4, rho5, rho6, rho7, rho8, alpha) = ch
+        ap = _alpha_powers(alpha)
+        kinv = _kinv(log_k)
 
-        proofs = {}
-        points = {}
-
-        # READ: rv~(rho1) = sum eq(rho1,j) ra Val
-        rho1 = transcript.challenge_field_elements(b"tsound_rho_read", log_t)
         eq1 = _lift_j(eq_table(rho1), k_size)
-        oracle = SumOfProductsOracle(n, [(1, [eq1, ra, val])])
-        proofs["read"], points["read"] = SumCheck(
-            n, _mle_eval(rv, rho1)
-        ).prove_with_challenges(oracle, transcript)
-
-        # VAL: Val~(tau) = sum_{k,j'} eq(tau_k,k) lt~(j',tau_j) Inc(k,j')
-        tau = transcript.challenge_field_elements(b"tsound_tau", n)
-        tau_k, tau_j = tau[:log_k], tau[log_k:]
-        eq_tk = _lift_k(eq_table(tau_k), t_size)
-        lt_tj = _lift_j(lt_partial_table(log_t, tau_j), k_size)
-        oracle = SumOfProductsOracle(n, [(1, [eq_tk, lt_tj, inc])])
-        proofs["val"], points["val"] = SumCheck(
-            n, _mle_eval(val, tau)
-        ).prove_with_challenges(oracle, transcript)
-
-        # INC: 0 = sum eq(sigma,(k,j)) (Inc - wa wv + wa Val)
-        sigma = transcript.challenge_field_elements(b"tsound_sigma", n)
+        rv_l = _lift_j(rv, k_size)
+        eq_tau = eq_table(tau)
+        eq_tk = _lift_k(eq_table(tau[:log_k]), t_size)
+        lt_tj = _lift_j(lt_partial_table(log_t, tau[log_k:]), k_size)
         eq_s = eq_table(sigma)
         wv_l = _lift_j(wv, k_size)
-        oracle = SumOfProductsOracle(
-            n,
-            [
-                (1, [eq_s, inc]),
-                (_P - 1, [eq_s, wa, wv_l]),
-                (1, [eq_s, wa, val]),
-            ],
-        )
-        proofs["inc"], points["inc"] = SumCheck(
-            n, Fr(0)
-        ).prove_with_challenges(oracle, transcript)
-
-        # BOOL ra / wa / ot
-        for name, tab, vars_, lbl in (
-            ("bool_ra", ra, n, b"tsound_rho_bool_ra"),
-            ("bool_wa", wa, n, b"tsound_rho_bool_wa"),
-            ("bool_ot", ot, log_t, b"tsound_rho_bool_ot"),
-        ):
-            rho = transcript.challenge_field_elements(lbl, vars_)
-            eq_r = eq_table(rho)
-            oracle = SumOfProductsOracle(
-                vars_, [(1, [eq_r, tab, tab]), (_P - 1, [eq_r, tab])]
-            )
-            proofs[name], points[name] = SumCheck(
-                vars_, Fr(0)
-            ).prove_with_challenges(oracle, transcript)
-
-        # ROW-SUM: sum_k ra(k,j) = 1 - ot(j);  sum_k wa(k,j) = ot(j)
-        rho7 = transcript.challenge_field_elements(b"tsound_rho_rowsum_ra", log_t)
+        eq4 = eq_table(rho4)
+        eq5 = eq_table(rho5)
+        eq6 = _lift_j(eq_table(rho6), k_size)
+        ot_l = _lift_j(ot, k_size)
         eq7 = _lift_j(eq_table(rho7), k_size)
-        oracle = SumOfProductsOracle(n, [(1, [eq7, ra])])
-        claimed = Fr((1 - int(_mle_eval(ot, rho7))) % _P)
-        proofs["rowsum_ra"], points["rowsum_ra"] = SumCheck(
-            n, claimed
-        ).prove_with_challenges(oracle, transcript)
-
-        rho8 = transcript.challenge_field_elements(b"tsound_rho_rowsum_wa", log_t)
         eq8 = _lift_j(eq_table(rho8), k_size)
-        oracle = SumOfProductsOracle(n, [(1, [eq8, wa])])
-        proofs["rowsum_wa"], points["rowsum_wa"] = SumCheck(
-            n, _mle_eval(ot, rho8)
-        ).prove_with_challenges(oracle, transcript)
+        oracle = SumOfProductsOracle(n, [
+            # READ
+            (1, [eq1, ra, val]),
+            (_P - kinv, [eq1, rv_l]),
+            # VAL
+            (ap[1], [eq_tau, val]),
+            (_P - ap[1], [eq_tk, lt_tj, inc]),
+            # INC
+            (ap[2], [eq_s, inc]),
+            (_P - ap[2], [eq_s, wa, wv_l]),
+            (ap[2], [eq_s, wa, val]),
+            # BOOL ra / wa / ot
+            (ap[3], [eq4, ra, ra]),
+            (_P - ap[3], [eq4, ra]),
+            (ap[4], [eq5, wa, wa]),
+            (_P - ap[4], [eq5, wa]),
+            (ap[5], [eq6, ot_l, ot_l]),
+            (_P - ap[5], [eq6, ot_l]),
+            # ROW-SUM ra / wa
+            (ap[6], [eq7, ra]),
+            (ap[6] * kinv % _P, [eq7, ot_l]),
+            (ap[6] * (_P - kinv) % _P, [eq7]),
+            (ap[7], [eq8, wa]),
+            (ap[7] * (_P - kinv) % _P, [eq8, ot_l]),
+        ])
+        check, r = SumCheck(n, Fr(0)).prove_with_challenges(oracle, transcript)
+        r_j = r[log_k:]
 
-        # --- openings -----------------------------------------------------
-        spec = _twist_openings_spec(
-            points, rho1, tau, rho7, rho8, log_k
+        cube_values = [_mle_eval(t, r) for t in (ra, wa, inc, val)]
+        col_values = [_mle_eval(t, r_j) for t in (ot, rv, wv)]
+        gamma = _bind_values_draw_gamma(transcript, cube_values, col_values)
+        g = int(gamma)
+
+        cube_rlc = _rlc_tables([ra, wa, inc, val], g)
+        cube_val, cube_proof = _open_cube_dense(
+            params_n, log_k, log_t, cube_rlc, r
         )
-        cube_tables = {"ra": ra, "wa": wa, "inc": inc, "val": val}
-        t_tables = {"ot": ot, "rv": rv, "wv": wv}
-        openings = []
-        for name, point in spec:
-            if name in cube_tables:
-                v, pi = _open_cube_dense(
-                    params_n, log_k, log_t, cube_tables[name], point
-                )
-            else:
-                v, pi = MultilinearKZG.open(params_t, t_tables[name], point)
-            openings.append(MLOpening(v, pi))
+        col_rlc = _rlc_tables([ot, rv, wv], g)
+        col_val, col_proof = MultilinearKZG.open(params_t, col_rlc, r_j)
+        assert int(cube_val) == _rlc_values(cube_values, g)
+        assert int(col_val) == _rlc_values(col_values, g)
 
         return TwistSoundProof(
             log_memory=log_k,
@@ -629,15 +595,11 @@ class TwistSound:
             ot_commitment=c_ot,
             rv_commitment=c_rv,
             wv_commitment=c_wv,
-            read_check=proofs["read"],
-            val_check=proofs["val"],
-            inc_check=proofs["inc"],
-            bool_ra_check=proofs["bool_ra"],
-            bool_wa_check=proofs["bool_wa"],
-            bool_ot_check=proofs["bool_ot"],
-            rowsum_ra_check=proofs["rowsum_ra"],
-            rowsum_wa_check=proofs["rowsum_wa"],
-            openings=openings,
+            check=check,
+            cube_values=cube_values,
+            col_values=col_values,
+            cube_proof=cube_proof,
+            col_proof=col_proof,
         )
 
     @staticmethod
@@ -646,8 +608,8 @@ class TwistSound:
         """Sparse prover: identical proof bytes to the dense path with
         O(T + K) memory — ra/wa/inc are column-sparse one-hots, Val is
         column-incremental (one write per cycle), commits/opens ride the
-        factorized cube SRS, and every cube sum-check runs on
-        SparseCubeOracle (VERDICT round-1 item 5)."""
+        factorized cube SRS, and the batched sum-check runs on
+        SparseCubeOracle (VERDICT round-1 item 5, round-2 task 1)."""
         if has_external_multilinear_srs(log_k + log_t):
             raise InvalidParametersError(
                 "sparse sound proving needs the deterministic factorized "
@@ -699,106 +661,77 @@ class TwistSound:
             transcript, log_k, log_t,
             c_ra, c_wa, c_inc, c_val, c_ot, c_rv, c_wv,
         )
+        ch = _twist_challenges(transcript, log_k, log_t)
+        (rho1, tau, sigma, rho4, rho5, rho6, rho7, rho8, alpha) = ch
+        ap = _alpha_powers(alpha)
+        kinv = _kinv(log_k)
 
-        proofs = {}
-        points = {}
-
-        # READ: rv~(rho1) = sum eq(rho1,j) ra Val
-        rho1 = transcript.challenge_field_elements(b"tsound_rho_read", log_t)
-        oracle = SparseCubeOracle(log_k, log_t, [
-            (1, [("eqj", eq_table(rho1)), ("colsparse", ra),
-                 ("colinc", val)]),
-        ])
-        proofs["read"], points["read"] = SumCheck(
-            n, _mle_eval(rv, rho1)
-        ).prove_with_challenges(oracle, transcript)
-
-        # VAL: Val~(tau) = sum eq(tau_k,k) lt~(j',tau_j) Inc(k,j')
-        tau = transcript.challenge_field_elements(b"tsound_tau", n)
-        tau_k, tau_j = tau[:log_k], tau[log_k:]
-        oracle = SparseCubeOracle(log_k, log_t, [
-            (1, [("eqk", eq_table(tau_k)),
-                 ("eqj", lt_partial_table(log_t, tau_j)),
-                 ("colsparse", inc)]),
-        ])
-        proofs["val"], points["val"] = SumCheck(
-            n, _incremental_mle_eval(val, tau, log_k)
-        ).prove_with_challenges(oracle, transcript)
-
-        # INC: 0 = sum eq(sigma,(k,j)) (Inc - wa wv + wa Val)
-        sigma = transcript.challenge_field_elements(b"tsound_sigma", n)
+        eq1 = eq_table(rho1)
+        eq_tauk = eq_table(tau[:log_k])
+        eq_tauj = eq_table(tau[log_k:])
+        lt_tj = lt_partial_table(log_t, tau[log_k:])
         ek_s = eq_table(sigma[:log_k])
         ej_s = eq_table(sigma[log_k:])
-        oracle = SparseCubeOracle(log_k, log_t, [
-            (1, [("eqk", ek_s), ("eqj", ej_s), ("colsparse", inc)]),
-            (_P - 1, [("eqk", ek_s), ("eqj", ej_s), ("eqj", wv),
-                      ("colsparse", wa)]),
-            (1, [("eqk", ek_s), ("eqj", ej_s), ("colsparse", wa),
-                 ("colinc", val)]),
-        ])
-        proofs["inc"], points["inc"] = SumCheck(
-            n, Fr(0)
-        ).prove_with_challenges(oracle, transcript)
-
-        # BOOL ra / wa (cube) and ot (time column)
-        for name, tab, lbl in (
-            ("bool_ra", ra, b"tsound_rho_bool_ra"),
-            ("bool_wa", wa, b"tsound_rho_bool_wa"),
-        ):
-            rho = transcript.challenge_field_elements(lbl, n)
-            ek = eq_table(rho[:log_k])
-            ej = eq_table(rho[log_k:])
-            oracle = SparseCubeOracle(log_k, log_t, [
-                (1, [("eqk", ek), ("eqj", ej), ("colsparse", tab),
-                     ("colsparse", tab)]),
-                (_P - 1, [("eqk", ek), ("eqj", ej), ("colsparse", tab)]),
-            ])
-            proofs[name], points[name] = SumCheck(
-                n, Fr(0)
-            ).prove_with_challenges(oracle, transcript)
-        rho6 = transcript.challenge_field_elements(b"tsound_rho_bool_ot", log_t)
+        ek4 = eq_table(rho4[:log_k])
+        ej4 = eq_table(rho4[log_k:])
+        ek5 = eq_table(rho5[:log_k])
+        ej5 = eq_table(rho5[log_k:])
         eq6 = eq_table(rho6)
-        oracle = SumOfProductsOracle(
-            log_t, [(1, [eq6, ot, ot]), (_P - 1, [eq6, ot])]
+        eq7 = eq_table(rho7)
+        eq8 = eq_table(rho8)
+        oracle = SparseCubeOracle(log_k, log_t, [
+            # READ
+            (1, [("eqj", eq1), ("colsparse", ra), ("colinc", val)]),
+            (_P - kinv, [("eqj", eq1), ("eqj", rv)]),
+            # VAL (first term: class I — colinc with no colsparse)
+            (ap[1], [("eqk", eq_tauk), ("eqj", eq_tauj), ("colinc", val)]),
+            (_P - ap[1], [("eqk", eq_tauk), ("eqj", lt_tj),
+                          ("colsparse", inc)]),
+            # INC
+            (ap[2], [("eqk", ek_s), ("eqj", ej_s), ("colsparse", inc)]),
+            (_P - ap[2], [("eqk", ek_s), ("eqj", ej_s), ("eqj", wv),
+                          ("colsparse", wa)]),
+            (ap[2], [("eqk", ek_s), ("eqj", ej_s), ("colsparse", wa),
+                     ("colinc", val)]),
+            # BOOL ra / wa / ot (ot: class E — j-only factors)
+            (ap[3], [("eqk", ek4), ("eqj", ej4), ("colsparse", ra),
+                     ("colsparse", ra)]),
+            (_P - ap[3], [("eqk", ek4), ("eqj", ej4), ("colsparse", ra)]),
+            (ap[4], [("eqk", ek5), ("eqj", ej5), ("colsparse", wa),
+                     ("colsparse", wa)]),
+            (_P - ap[4], [("eqk", ek5), ("eqj", ej5), ("colsparse", wa)]),
+            (ap[5], [("eqj", eq6), ("eqj", ot), ("eqj", ot)]),
+            (_P - ap[5], [("eqj", eq6), ("eqj", ot)]),
+            # ROW-SUM ra / wa
+            (ap[6], [("eqj", eq7), ("colsparse", ra)]),
+            (ap[6] * kinv % _P, [("eqj", eq7), ("eqj", ot)]),
+            (ap[6] * (_P - kinv) % _P, [("eqj", eq7)]),
+            (ap[7], [("eqj", eq8), ("colsparse", wa)]),
+            (ap[7] * (_P - kinv) % _P, [("eqj", eq8), ("eqj", ot)]),
+        ])
+        check, r = SumCheck(n, Fr(0)).prove_with_challenges(oracle, transcript)
+        r_j = r[log_k:]
+
+        cube_values = [
+            sparse_mle_eval(ra, r),
+            sparse_mle_eval(wa, r),
+            sparse_mle_eval(inc, r),
+            _incremental_mle_eval(val, r, log_k),
+        ]
+        col_values = [_mle_eval(t, r_j) for t in (ot, rv, wv)]
+        gamma = _bind_values_draw_gamma(transcript, cube_values, col_values)
+        g = int(gamma)
+
+        cube_val, cube_proof = open_combined(
+            cp,
+            [(1, ra), (g, wa), (g * g % _P, inc)],
+            [(pow(g, 3, _P), val)],
+            r,
         )
-        proofs["bool_ot"], points["bool_ot"] = SumCheck(
-            log_t, Fr(0)
-        ).prove_with_challenges(oracle, transcript)
-
-        # ROW-SUM: sum_k ra(k,j) = 1 - ot(j);  sum_k wa(k,j) = ot(j)
-        rho7 = transcript.challenge_field_elements(b"tsound_rho_rowsum_ra", log_t)
-        oracle = SparseCubeOracle(log_k, log_t, [
-            (1, [("eqj", eq_table(rho7)), ("colsparse", ra)]),
-        ])
-        claimed = Fr((1 - int(_mle_eval(ot, rho7))) % _P)
-        proofs["rowsum_ra"], points["rowsum_ra"] = SumCheck(
-            n, claimed
-        ).prove_with_challenges(oracle, transcript)
-
-        rho8 = transcript.challenge_field_elements(b"tsound_rho_rowsum_wa", log_t)
-        oracle = SparseCubeOracle(log_k, log_t, [
-            (1, [("eqj", eq_table(rho8)), ("colsparse", wa)]),
-        ])
-        proofs["rowsum_wa"], points["rowsum_wa"] = SumCheck(
-            n, _mle_eval(ot, rho8)
-        ).prove_with_challenges(oracle, transcript)
-
-        # --- openings -------------------------------------------------
-        spec = _twist_openings_spec(points, rho1, tau, rho7, rho8, log_k)
-        cube_openers = {
-            "ra": lambda pt: open_sparse(cp, ra, pt),
-            "wa": lambda pt: open_sparse(cp, wa, pt),
-            "inc": lambda pt: open_sparse(cp, inc, pt),
-            "val": lambda pt: open_incremental(cp, val, pt),
-        }
-        t_tables = {"ot": ot, "rv": rv, "wv": wv}
-        openings = []
-        for name, point in spec:
-            if name in cube_openers:
-                v, pi = cube_openers[name](point)
-            else:
-                v, pi = MultilinearKZG.open(params_t, t_tables[name], point)
-            openings.append(MLOpening(v, pi))
+        col_rlc = _rlc_tables([ot, rv, wv], g)
+        col_val, col_proof = MultilinearKZG.open(params_t, col_rlc, r_j)
+        assert int(cube_val) == _rlc_values(cube_values, g)
+        assert int(col_val) == _rlc_values(col_values, g)
 
         return TwistSoundProof(
             log_memory=log_k,
@@ -810,29 +743,19 @@ class TwistSound:
             ot_commitment=c_ot,
             rv_commitment=c_rv,
             wv_commitment=c_wv,
-            read_check=proofs["read"],
-            val_check=proofs["val"],
-            inc_check=proofs["inc"],
-            bool_ra_check=proofs["bool_ra"],
-            bool_wa_check=proofs["bool_wa"],
-            bool_ot_check=proofs["bool_ot"],
-            rowsum_ra_check=proofs["rowsum_ra"],
-            rowsum_wa_check=proofs["rowsum_wa"],
-            openings=openings,
+            check=check,
+            cube_values=cube_values,
+            col_values=col_values,
+            cube_proof=cube_proof,
+            col_proof=col_proof,
         )
 
     @staticmethod
     def verify(proof: TwistSoundProof, verifier_params: VerifierParams) -> bool:
         log_k, log_t = proof.log_memory, proof.log_ops
         n = log_k + log_t
-        if len(proof.openings) != 16:
+        if len(proof.cube_values) != 4 or len(proof.col_values) != 3:
             return False
-        # Claimed sums consumed during transcript replay; the opening
-        # proofs backing these values are pairing-checked afterwards.
-        o_rv_rho1 = proof.openings[0]
-        o_val_tau = proof.openings[3]
-        o_ot_rho7 = proof.openings[12]
-        o_ot_rho8 = proof.openings[13]
 
         transcript = Transcript(verifier_params.fiat_shamir_seed)
         _twist_bind_statement(
@@ -841,77 +764,73 @@ class TwistSound:
             proof.val_commitment, proof.ot_commitment, proof.rv_commitment,
             proof.wv_commitment,
         )
+        ch = _twist_challenges(transcript, log_k, log_t)
+        (rho1, tau, sigma, rho4, rho5, rho6, rho7, rho8, alpha) = ch
 
-        rho1 = transcript.challenge_field_elements(b"tsound_rho_read", log_t)
-        ok, r1 = SumCheck(n, o_rv_rho1.value).verify(proof.read_check, transcript)
+        ok, r = SumCheck(n, Fr(0)).verify(proof.check, transcript)
         if not ok:
             return False
-
-        tau = transcript.challenge_field_elements(b"tsound_tau", n)
-        ok, r2 = SumCheck(n, o_val_tau.value).verify(proof.val_check, transcript)
-        if not ok:
-            return False
-
-        sigma = transcript.challenge_field_elements(b"tsound_sigma", n)
-        ok, r3 = SumCheck(n, Fr(0)).verify(proof.inc_check, transcript)
-        if not ok:
-            return False
-
-        rho4 = transcript.challenge_field_elements(b"tsound_rho_bool_ra", n)
-        ok, r4 = SumCheck(n, Fr(0)).verify(proof.bool_ra_check, transcript)
-        if not ok:
-            return False
-        rho5 = transcript.challenge_field_elements(b"tsound_rho_bool_wa", n)
-        ok, r5 = SumCheck(n, Fr(0)).verify(proof.bool_wa_check, transcript)
-        if not ok:
-            return False
-        rho6 = transcript.challenge_field_elements(b"tsound_rho_bool_ot", log_t)
-        ok, r6 = SumCheck(log_t, Fr(0)).verify(proof.bool_ot_check, transcript)
-        if not ok:
-            return False
-
-        rho7 = transcript.challenge_field_elements(b"tsound_rho_rowsum_ra", log_t)
-        claimed7 = Fr((1 - int(o_ot_rho7.value)) % _P)
-        ok, r7 = SumCheck(n, claimed7).verify(proof.rowsum_ra_check, transcript)
-        if not ok:
-            return False
-        rho8 = transcript.challenge_field_elements(b"tsound_rho_rowsum_wa", log_t)
-        ok, r8 = SumCheck(n, o_ot_rho8.value).verify(proof.rowsum_wa_check, transcript)
-        if not ok:
-            return False
-
-        return _twist_check_finals_and_openings(
-            proof, log_k, log_t,
-            rho1, tau, sigma, rho4, rho5, rho6, rho7, rho8,
-            r1, r2, r3, r4, r5, r6, r7, r8,
+        r_k, r_j = r[:log_k], r[log_k:]
+        gamma = _bind_values_draw_gamma(
+            transcript, proof.cube_values, proof.col_values
         )
+        g = int(gamma)
 
+        # Final-evaluation binding: recompute the batched constraint
+        # polynomial at r from the claimed values and eq/lt closed forms.
+        ap = _alpha_powers(alpha)
+        kinv = _kinv(log_k)
+        v_ra, v_wa, v_inc, v_val = (int(v) % _P for v in proof.cube_values)
+        v_ot, v_rv, v_wv = (int(v) % _P for v in proof.col_values)
+        e1 = int(eq_eval(rho1, r_j))
+        e_tau = int(eq_eval(tau, r))
+        e_tk = int(eq_eval(tau[:log_k], r_k))
+        lt_v = int(lt_eval(r_j, tau[log_k:]))
+        e_s = int(eq_eval(sigma, r))
+        e4 = int(eq_eval(rho4, r))
+        e5 = int(eq_eval(rho5, r))
+        e6 = int(eq_eval(rho6, r_j))
+        e7 = int(eq_eval(rho7, r_j))
+        e8 = int(eq_eval(rho8, r_j))
+        want = (
+            e1 * v_ra % _P * v_val
+            - kinv * e1 % _P * v_rv
+            + ap[1] * (e_tau * v_val - e_tk * lt_v % _P * v_inc) % _P
+            + ap[2] * e_s % _P * (v_inc - v_wa * v_wv + v_wa * v_val) % _P
+            + ap[3] * e4 % _P * v_ra % _P * ((v_ra - 1) % _P)
+            + ap[4] * e5 % _P * v_wa % _P * ((v_wa - 1) % _P)
+            + ap[5] * e6 % _P * v_ot % _P * ((v_ot - 1) % _P)
+            + ap[6] * e7 % _P * ((v_ra + kinv * (v_ot - 1)) % _P)
+            + ap[7] * e8 % _P * ((v_wa - kinv * v_ot) % _P)
+        ) % _P
+        if int(proof.check.final_evaluation) != want:
+            return False
 
-def _twist_openings_spec(points, rho1, tau, rho7, rho8, log_k):
-    """(table_name, point) list — ORDER IS THE WIRE FORMAT."""
-    return [
-        ("rv", rho1),
-        ("ra", points["read"]),
-        ("val", points["read"]),
-        ("val", tau),
-        ("inc", points["val"]),
-        ("inc", points["inc"]),
-        ("wa", points["inc"]),
-        ("wv", points["inc"][log_k:]),
-        ("val", points["inc"]),
-        ("ra", points["bool_ra"]),
-        ("wa", points["bool_wa"]),
-        ("ot", points["bool_ot"]),
-        ("ot", rho7),
-        ("ot", rho8),
-        ("ra", points["rowsum_ra"]),
-        ("wa", points["rowsum_wa"]),
-    ]
+        # Two batched PST pairing checks back all seven claimed values.
+        from ..commit.mkzg import batch_verify_openings
+
+        vk_n = multilinear_verification_key(n)
+        vk_t = multilinear_verification_key(log_t)
+        cube_comm = _rlc_commitments(
+            [proof.ra_commitment, proof.wa_commitment,
+             proof.inc_commitment, proof.val_commitment], g
+        )
+        col_comm = _rlc_commitments(
+            [proof.ot_commitment, proof.rv_commitment,
+             proof.wv_commitment], g
+        )
+        return batch_verify_openings([
+            (vk_n, cube_comm, r,
+             Fr(_rlc_values(proof.cube_values, g)), proof.cube_proof),
+            (vk_t, col_comm, r_j,
+             Fr(_rlc_values(proof.col_values, g)), proof.col_proof),
+        ])
 
 
 def _twist_bind_statement(
     transcript: Transcript, log_k: int, log_t: int, *commitments
 ) -> None:
+    transcript.append_field_element(b"tsound_version", Fr(2))
     transcript.append_field_element(b"tsound_log_memory", Fr(log_k))
     transcript.append_field_element(b"tsound_log_ops", Fr(log_t))
     labels = (
@@ -924,93 +843,66 @@ def _twist_bind_statement(
         transcript.append_field_element(label, c.hash())
 
 
-def _twist_check_finals_and_openings(
-    proof: TwistSoundProof,
-    log_k: int,
-    log_t: int,
-    rho1, tau, sigma, rho4, rho5, rho6, rho7, rho8,
-    r1, r2, r3, r4, r5, r6, r7, r8,
-) -> bool:
+def _twist_challenges(transcript: Transcript, log_k: int, log_t: int):
     n = log_k + log_t
-    ops = proof.openings
-    (
-        o_rv_rho1, o_ra_r1, o_val_r1, o_val_tau, o_inc_r2,
-        o_inc_r3, o_wa_r3, o_wv_r3j, o_val_r3,
-        o_ra_r4, o_wa_r5, o_ot_r6, o_ot_rho7, o_ot_rho8,
-        o_ra_r7, o_wa_r8,
-    ) = ops
+    rho1 = transcript.challenge_field_elements(b"tsound_rho_read", log_t)
+    tau = transcript.challenge_field_elements(b"tsound_tau", n)
+    sigma = transcript.challenge_field_elements(b"tsound_sigma", n)
+    rho4 = transcript.challenge_field_elements(b"tsound_rho_bool_ra", n)
+    rho5 = transcript.challenge_field_elements(b"tsound_rho_bool_wa", n)
+    rho6 = transcript.challenge_field_elements(b"tsound_rho_bool_ot", log_t)
+    rho7 = transcript.challenge_field_elements(b"tsound_rho_rowsum_ra", log_t)
+    rho8 = transcript.challenge_field_elements(b"tsound_rho_rowsum_wa", log_t)
+    alpha = transcript.challenge_field_element(b"tsound_alpha")
+    return rho1, tau, sigma, rho4, rho5, rho6, rho7, rho8, alpha
 
-    def fr(x):
-        return int(x) % _P
 
-    # READ final
-    want = (
-        fr(eq_eval(rho1, r1[log_k:])) * fr(o_ra_r1.value) % _P
-        * fr(o_val_r1.value) % _P
-    )
-    if fr(proof.read_check.final_evaluation) != want:
-        return False
-    # VAL final
-    tau_k, tau_j = tau[:log_k], tau[log_k:]
-    want = (
-        fr(eq_eval(tau_k, r2[:log_k]))
-        * fr(lt_eval(r2[log_k:], tau_j)) % _P
-        * fr(o_inc_r2.value) % _P
-    )
-    if fr(proof.val_check.final_evaluation) != want:
-        return False
-    # INC final
-    inner = (
-        fr(o_inc_r3.value)
-        - fr(o_wa_r3.value) * fr(o_wv_r3j.value)
-        + fr(o_wa_r3.value) * fr(o_val_r3.value)
-    ) % _P
-    want = fr(eq_eval(sigma, r3)) * inner % _P
-    if fr(proof.inc_check.final_evaluation) != want:
-        return False
-    # BOOL finals
-    for rho, r, opening, sc in (
-        (rho4, r4, o_ra_r4, proof.bool_ra_check),
-        (rho5, r5, o_wa_r5, proof.bool_wa_check),
-        (rho6, r6, o_ot_r6, proof.bool_ot_check),
-    ):
-        v = fr(opening.value)
-        want = fr(eq_eval(rho, r)) * v % _P * ((v - 1) % _P) % _P
-        if fr(sc.final_evaluation) != want:
-            return False
-    # ROW-SUM finals
-    want = fr(eq_eval(rho7, r7[log_k:])) * fr(o_ra_r7.value) % _P
-    if fr(proof.rowsum_ra_check.final_evaluation) != want:
-        return False
-    want = fr(eq_eval(rho8, r8[log_k:])) * fr(o_wa_r8.value) % _P
-    if fr(proof.rowsum_wa_check.final_evaluation) != want:
-        return False
+def _alpha_powers(alpha: Fr) -> List[int]:
+    a = int(alpha)
+    out = [1]
+    for _ in range(7):
+        out.append(out[-1] * a % _P)
+    return out
 
-    # PST openings — one pairing product for all 16 (same-point openings
-    # share G2 terms; see mkzg.batch_verify_openings).
-    from ..commit.mkzg import batch_verify_openings
 
-    vk_n = multilinear_verification_key(n)
-    vk_t = multilinear_verification_key(log_t)
-    checks = [
-        (vk_t, proof.rv_commitment, rho1, o_rv_rho1),
-        (vk_n, proof.ra_commitment, r1, o_ra_r1),
-        (vk_n, proof.val_commitment, r1, o_val_r1),
-        (vk_n, proof.val_commitment, tau, o_val_tau),
-        (vk_n, proof.inc_commitment, r2, o_inc_r2),
-        (vk_n, proof.inc_commitment, r3, o_inc_r3),
-        (vk_n, proof.wa_commitment, r3, o_wa_r3),
-        (vk_t, proof.wv_commitment, r3[log_k:], o_wv_r3j),
-        (vk_n, proof.val_commitment, r3, o_val_r3),
-        (vk_n, proof.ra_commitment, r4, o_ra_r4),
-        (vk_n, proof.wa_commitment, r5, o_wa_r5),
-        (vk_t, proof.ot_commitment, r6, o_ot_r6),
-        (vk_t, proof.ot_commitment, rho7, o_ot_rho7),
-        (vk_t, proof.ot_commitment, rho8, o_ot_rho8),
-        (vk_n, proof.ra_commitment, r7, o_ra_r7),
-        (vk_n, proof.wa_commitment, r8, o_wa_r8),
-    ]
-    return batch_verify_openings(
-        (vk, comm, point, o.value, o.proof)
-        for vk, comm, point, o in checks
-    )
+def _bind_values_draw_gamma(
+    transcript: Transcript, cube_values: Sequence[Fr], col_values: Sequence[Fr]
+) -> Fr:
+    """Bind the claimed polynomial values BEFORE drawing the RLC challenge
+    — otherwise a prover could pick values adaptively after seeing gamma
+    and satisfy the batched pairing check with a forged combination."""
+    transcript.append_field_elements(b"tsound_cube_values", list(cube_values))
+    transcript.append_field_elements(b"tsound_col_values", list(col_values))
+    return transcript.challenge_field_element(b"tsound_gamma")
+
+
+def _rlc_values(values: Sequence[Fr], gamma: int) -> int:
+    acc = 0
+    w = 1
+    for v in values:
+        acc = (acc + w * int(v)) % _P
+        w = w * gamma % _P
+    return acc
+
+
+def _rlc_commitments(
+    comms: Sequence[KZGCommitmentValue], gamma: int
+) -> KZGCommitmentValue:
+    import os
+
+    def smul(p: G1, s: int) -> G1:
+        if s == 1:
+            return p
+        if not os.environ.get("TNSH_NO_NATIVE"):
+            from .. import _native
+
+            if _native.available:
+                return _native.g1_scalar_mul(p, Fr(s))
+        return p.scalar_mul(s)
+
+    acc = comms[0].commitment
+    w = 1
+    for c in comms[1:]:
+        w = w * gamma % _P
+        acc = acc.add(smul(c.commitment, w))
+    return KZGCommitmentValue(acc)
