@@ -1,8 +1,8 @@
 """Cell-scheduled Pippenger MSM on TPU — the round-2 flagship kernel.
 
 Re-designs the reference's commit MSM (/root/reference/src/commitments.rs:
-162-180) for TPU execution.  The round-1 XLA Pippenger
-(``pippenger_jax.py``) was gather-bound because every bucket-insertion step
+162-180) for TPU execution.  The round-1 XLA Pippenger (removed in round 3;
+see git history) was gather-bound because every bucket-insertion step
 gathered from the FULL point array (and a c=12/n=2^16 configuration crashed
 the axon TPU worker).  Measured on the v5e, ``jnp.take`` is fast when the
 gather *table* is chunk-sized (~0.2-1 us for a 4096-wide gather from a

@@ -11,8 +11,9 @@ Pippenger MSM) yields bit-identical field values to the reference — algorithmi
 freedom without transcript divergence.
 
 The TPU-side representation (limb planes, Montgomery form) lives in
-``tnsh.field.fr_jax`` / ``tnsh.field.fr_pallas``; conversion helpers are in
-``tnsh.field.limbs``.
+``tnsh.field.fr_jax``; conversion helpers are in ``tnsh.field.limbs``.
+(A Pallas variant was measured at 0.5x the XLA kernel and removed —
+PERF_NOTES round-2 finding 6.)
 
 arkworks-compat facts encoded here:
   * ``MODULUS`` is the BN254 (alt_bn128) scalar prime r.
