@@ -47,6 +47,13 @@ def main() -> None:
     try:
         import subprocess
 
+        # One jitted fori_loop = ONE dispatch + ONE fetch for 2^25
+        # lane-muls: the old 100-dispatch chain measured per-dispatch
+        # tunnel latency, not the chip (BENCH_r01 1485 vs BENCH_r02 107
+        # M muls/s on identical code).  Speed-of-light: ~0.33e12 VPU
+        # int-ops/s (PERF_NOTES round-2 finding 5) / ~244 arithmetic ops
+        # per CIOS lane-mul (add 88, mul 66, and 45, shr 45 in the
+        # fr_mont_mul jaxpr) ~= 1.35e9 muls/s.
         probe = (
             "import time, jax, jax.numpy as jnp, numpy as np\n"
             "try: jax.config.update('jax_compilation_cache_dir', "
@@ -55,18 +62,24 @@ def main() -> None:
             "from tnsh.field.fr_jax import fr_mont_mul\n"
             "from tnsh.field.limbs import FR_SPEC, pack_ints\n"
             "rng = np.random.default_rng(0)\n"
-            "n = 1 << 16\n"
+            "n, iters = 1 << 19, 64\n"
             "vals = [int(v) for v in rng.integers(0, 1 << 62, n)]\n"
             "a = jnp.asarray(pack_ints(vals, FR_SPEC))\n"
-            "r = fr_mont_mul(a, a); _ = np.asarray(r[:, :4])\n"
-            "iters = 100\n"
-            "t0 = time.perf_counter()\n"
-            "for _i in range(iters): r = fr_mont_mul(r, a)\n"
-            "_ = np.asarray(r[:, :4])  # fetch: block_until_ready does not\n"
-            "# wait for execution over the axon tunnel (PERF_NOTES round-2)\n"
-            "dt = (time.perf_counter() - t0) / iters\n"
-            "print(f'{jax.devices()[0].platform} "
-            "{n / dt / 1e6:.1f} M muls/s ({dt * 1e3:.2f} ms / {n})')\n"
+            "chain = jax.jit(lambda x, y: jax.lax.fori_loop(\n"
+            "    0, iters, lambda i, r: fr_mont_mul(r, y), x))\n"
+            "r = chain(a, a); _ = np.asarray(r[:4, :4])  # compile + fetch\n"
+            "best = float('inf')\n"
+            "for _i in range(3):\n"
+            "    t0 = time.perf_counter()\n"
+            "    r = chain(r, a)\n"
+            "    _ = np.asarray(r[:4, :4])  # fetch: block_until_ready does\n"
+            "    # not wait over the axon tunnel (PERF_NOTES round-2)\n"
+            "    best = min(best, time.perf_counter() - t0)\n"
+            "rate = n * iters / best\n"
+            "sol = 0.33e12 / 244.0\n"
+            "print(f'{jax.devices()[0].platform} {rate / 1e6:.0f} M muls/s "
+            "({100 * rate / sol:.0f}% of ~{sol / 1e6:.0f}M speed-of-light; "
+            "{iters}x fused fori_loop over 2^19 lanes, 1 dispatch)')\n"
         )
         out = subprocess.run(
             [sys.executable, "-c", probe],

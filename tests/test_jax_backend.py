@@ -294,3 +294,54 @@ class TestShardedOracle:
         assert host_proof.final_evaluation == sharded_proof.final_evaluation
         ok, _ = sc.verify(sharded_proof, Transcript(seed))
         assert ok
+
+    def test_sharded_sparse_cube_oracle_identical_proofs(self):
+        """Column-sharded sparse cube oracle (the sound provers' k-phase
+        decomposed over the mesh: exclusive-scan colinc seeding + psum
+        round evals + mesh j phase) is bit-identical to the host oracle
+        across a complete transcript-driven proof."""
+        from tnsh.commit.mkzg_sparse import (
+            IncrementalCubeTable,
+            SparseCubeTable,
+        )
+        from tnsh.iop.sparse_oracle import SparseCubeOracle
+        from tnsh.parallel.mesh import ShardedSparseCubeOracle, make_mesh
+
+        random.seed(97)
+        log_k, log_t = 3, 6
+        sp = SparseCubeTable(log_k, log_t)
+        inc = IncrementalCubeTable(log_k, log_t)
+        for j in range(1 << log_t):
+            sp.set(j, random.randrange(1 << log_k), 1)
+            if j % 3:
+                inc.add_update(
+                    j, random.randrange(1 << log_k),
+                    random.randrange(MODULUS),
+                )
+        eqj = [random.randrange(MODULUS) for _ in range(1 << log_t)]
+        eqk = [random.randrange(MODULUS) for _ in range(1 << log_k)]
+        terms = [
+            (1, [("eqj", eqj), ("colsparse", sp), ("colinc", inc)]),
+            (MODULUS - 2, [("eqk", eqk), ("colsparse", sp),
+                           ("colsparse", sp)]),
+            (3, [("eqk", eqk), ("colinc", inc)]),   # class I
+            (5, [("eqj", eqj), ("eqk", eqk)]),      # class E
+        ]
+        n = log_k + log_t
+        probe = SparseCubeOracle(log_k, log_t, terms)
+        ev = probe.round_evaluations(0)
+        total = ev[0] + ev[1]
+        sc = SumCheck(n, total)
+        seed = bytes([43]) * 32
+        host_proof = sc.prove(
+            SparseCubeOracle(log_k, log_t, terms), Transcript(seed)
+        )
+        mesh = make_mesh(jax.devices()[:8])
+        sharded_proof = sc.prove(
+            ShardedSparseCubeOracle(log_k, log_t, terms, mesh),
+            Transcript(seed),
+        )
+        assert host_proof.round_polynomials == sharded_proof.round_polynomials
+        assert host_proof.final_evaluation == sharded_proof.final_evaluation
+        ok, _ = sc.verify(sharded_proof, Transcript(seed))
+        assert ok

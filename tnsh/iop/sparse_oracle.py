@@ -39,7 +39,7 @@ table and the j phase delegates to SumOfProductsOracle
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from ..errors import SumCheckError
 from ..field.fr import MODULUS, Fr
@@ -49,8 +49,15 @@ _P = MODULUS
 
 
 class SparseCubeOracle(SumcheckOracle):
-    def __init__(self, log_k: int, log_t: int, terms):
-        """``terms``: sequence of ``(coeff, [(kind, payload), ...])``."""
+    def __init__(self, log_k: int, log_t: int, terms,
+                 use_native: bool = True):
+        """``terms``: sequence of ``(coeff, [(kind, payload), ...])``.
+
+        ``use_native=False`` forces the pure-Python k phase — used by the
+        column-sharded mesh oracle (tnsh.parallel.mesh), whose shard
+        slices need externally seeded colinc scan state
+        (:meth:`set_colinc_start`), which the native kernel does not
+        expose."""
         self.log_k = log_k
         self.log_t = log_t
         self.num_vars = log_k + log_t
@@ -122,12 +129,16 @@ class SparseCubeOracle(SumcheckOracle):
             self._terms.append((None, eqj_idx, eqk_idx, sp_idx, sp_power,
                                 inc_idx, int(coeff) % _P))
         self._delegate = None
+        #: externally seeded colinc scan state (column-sharded mode): per
+        #: inc table, the K_rem-vector of prefix deltas from columns owned
+        #: by earlier shards.  None = this oracle owns ALL columns.
+        self._inc_start: Optional[List[List[int]]] = None
         # Route the k rounds to the native C++ twin when available: the
         # per-column big-int loops below run ~20-40x faster there with
         # bit-identical output (exact field arithmetic either way), and
         # the per-column term weights are computed native-side.
         self._nat = None
-        if log_k > 0:
+        if log_k > 0 and use_native:
             import os
 
             if not os.environ.get("TNSH_NO_NATIVE"):
@@ -165,12 +176,29 @@ class SparseCubeOracle(SumcheckOracle):
 
     # -- k-phase helpers ----------------------------------------------------
 
+    def set_colinc_start(self, states: Optional[List[List[int]]]) -> None:
+        """Seed the colinc in-order scan (and class-I running sums) with
+        the prefix state contributed by columns OWNED BY EARLIER SHARDS.
+        ``states``: per inc table, a K_rem-sized int vector matching the
+        CURRENT fold level.  Cleared by :meth:`bind` — the sharded driver
+        recomputes it from the folded tables before every round (on a pod
+        this is one exclusive-scan collective of K_rem-vectors).  Python
+        k-phase only (construct with ``use_native=False``)."""
+        if states is not None and self._nat is not None:
+            raise SumCheckError(
+                "colinc start seeding needs the Python k phase "
+                "(use_native=False)"
+            )
+        self._inc_start = states
+
     def _k_round_evals(self) -> List[Fr]:
         t_size = 1 << self.log_t
-        # reset colinc scan state
-        for cur in self._inc_cur:
+        # reset colinc scan state (seeded in column-sharded mode)
+        starts = self._inc_start
+        for ii, cur in enumerate(self._inc_cur):
+            src = starts[ii] if starts is not None else None
             for i in range(len(cur)):
-                cur[i] = 0
+                cur[i] = src[i] if src is not None else 0
         # inner loop: products of <=4 linear forms evaluated at X = 0..3,
         # accumulated UNREDUCED (products stay ~1300 bits; one mod per
         # round) — dropping the per-factor mods measured ~1.5x
@@ -214,6 +242,39 @@ class SparseCubeOracle(SumcheckOracle):
                 s1 += wsum * e1
                 s2 += wsum * e2
                 s3 += wsum * e3
+
+        # column-sharded mode: seed each class-I running sum h(X) from the
+        # earlier shards' prefix state (mirrors the native kernel's OpenMP
+        # chunk seeding)
+        if starts is not None:
+            for rec in cls_i:
+                t = rec[0]
+                cur0 = inc_cur_all[t[5][0]]
+                h0 = h1 = h2 = h3 = 0
+                for rest in range(half):
+                    b0 = cur0[2 * rest]
+                    b1 = cur0[2 * rest + 1]
+                    if b0 == 0 and b1 == 0:
+                        continue
+                    d = b1 - b0
+                    v0, v1, v2 = b0, b1, b1 + d
+                    v3 = v2 + d
+                    for ei in t[2]:
+                        arr = eqk_all[ei]
+                        a0 = arr[2 * rest]
+                        da = arr[2 * rest + 1] - a0
+                        v0 *= a0
+                        v1 *= a0 + da
+                        v2 *= a0 + 2 * da
+                        v3 *= a0 + 3 * da
+                    h0 += v0
+                    h1 += v1
+                    h2 += v2
+                    h3 += v3
+                rec[1] = h0 % _P
+                rec[2] = h1 % _P
+                rec[3] = h2 % _P
+                rec[4] = h3 % _P
 
         for j in range(t_size):
             for (w, _tabs, eqk_idx, sp_idx, sp_power, inc_idx, _c) in cls_s:
@@ -350,32 +411,23 @@ class SparseCubeOracle(SumcheckOracle):
         self._inc = [fold_cols(u) for u in self._inc]
         self._k_rem //= 2
         self._inc_cur = [[0] * self._k_rem for _ in self._inc]
+        self._inc_start = None  # stale after a fold; driver re-seeds
 
-    def _build_delegate(self) -> None:
-        if self._nat is not None:
-            from .. import _native
-
-            sop_id = _native.sco_make_sop(self._nat)
-            _native.sco_free(self._nat)
-            self._nat = None
-            self._delegate = SumOfProductsOracle._from_native_id(
-                self.log_t, sop_id
-            )
-            return
-        t_size = 1 << self.log_t
+    def _delegate_terms(self):
+        """The j-phase term list (coeff, [T-sized tables]) after the k
+        binds — shared by the local delegate and the column-sharded mesh
+        oracle (which concatenates shard slices before building ONE
+        mesh-wide SumOfProductsOracle)."""
         sp_tables = [
-            [(col[0][1] if col else 0) for col in cols]
+            # fully folded sparse columns may hold several merged entries
+            # at key 0 -> sum them
+            [sum(c for _, c in col) % _P for col in cols]
             for cols in self._sparse
         ]
-        # fully folded sparse columns may have several merged entries at
-        # key 0 only when log_k rounds merged everything -> sum them
-        for si, cols in enumerate(self._sparse):
-            sp_tables[si] = [
-                sum(c for _, c in col) % _P for col in cols
-            ]
         inc_tables = []
-        for ups in self._inc:
-            cur = 0
+        starts = self._inc_start
+        for ii, ups in enumerate(self._inc):
+            cur = starts[ii][0] if starts is not None else 0
             tab = []
             for col in ups:
                 tab.append(cur)
@@ -393,7 +445,22 @@ class SparseCubeOracle(SumcheckOracle):
                 tabs += [sp_tables[sp_idx]] * sp_power
             tabs += [inc_tables[ii] for ii in inc_idx]
             terms.append((c, tabs))
-        self._delegate = SumOfProductsOracle(self.log_t, terms)
+        return terms
+
+    def _build_delegate(self) -> None:
+        if self._nat is not None:
+            from .. import _native
+
+            sop_id = _native.sco_make_sop(self._nat)
+            _native.sco_free(self._nat)
+            self._nat = None
+            self._delegate = SumOfProductsOracle._from_native_id(
+                self.log_t, sop_id
+            )
+            return
+        self._delegate = SumOfProductsOracle(
+            self.log_t, self._delegate_terms()
+        )
 
     # -- SumcheckOracle interface -------------------------------------------
 

@@ -408,6 +408,179 @@ class ShardedSumOfProductsOracle(SumcheckOracle):
         return Fr(total % MODULUS)
 
 
+class ShardedSparseCubeOracle(SumcheckOracle):
+    """Column-sharded sparse cube oracle — the sound provers' k-phase
+    oracle (tnsh.iop.sparse_oracle) decomposed over the mesh axis.
+
+    Cycles (the j columns) partition into contiguous slices, one per
+    device; contiguous slices fix the SLOWEST j bits, so every shard's
+    tables stay local through all k rounds and the first log(T/n) j
+    rounds.  Per k round:
+
+      * each shard seeds its colinc scan (and class-I running sums) with
+        the exclusive prefix of earlier shards' delta totals — on a pod
+        this is one log-depth exclusive-scan collective of K_rem-sized
+        field vectors per round, O(K) bytes per hop;
+      * shard-local scans produce partial round evaluations that combine
+        by ONE exact field sum (a psum).
+
+    After the k binds, each shard's slice collapses to T/n-sized dense
+    tables; their concatenation feeds one mesh-wide
+    ``ShardedSumOfProductsOracle`` (real shard_map + psum), so the j
+    phase runs on-device.  Bit-identical round polynomials to the host
+    ``SparseCubeOracle`` (asserted by ``__graft_entry__.dryrun_multichip``
+    and tests/test_mesh.py).
+
+    The shard scans here run serially in-process (one host, virtual
+    devices); on a real multi-host pod each host runs its native scan on
+    its own slice — the decomposition and the collectives are what this
+    class pins down.
+    """
+
+    def __init__(self, log_k: int, log_t: int, terms, mesh: Mesh = None,
+                 axis: str = "data"):
+        from ..commit.mkzg_sparse import (
+            IncrementalCubeTable,
+            SparseCubeTable,
+        )
+        from ..iop.sparse_oracle import SparseCubeOracle
+        from ..iop.sumcheck import SumCheckError
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = axis
+        n_dev = int(
+            np.prod([self.mesh.shape[a] for a in self.mesh.axis_names])
+        )
+        if n_dev & (n_dev - 1):
+            raise SumCheckError("mesh device count must be a power of two")
+        log_n = n_dev.bit_length() - 1
+        if log_t <= log_n:
+            raise SumCheckError(
+                f"need log_t > log2(devices) ({log_t} <= {log_n})"
+            )
+        self.log_k = log_k
+        self.log_t = log_t
+        self.num_vars = log_k + log_t
+        self._round = 0
+        self._delegate = None
+        slice_log_t = log_t - log_n
+        s = 1 << slice_log_t
+
+        # slice every payload once (shared payloads stay shared per shard
+        # so the per-shard identity dedupe still applies)
+        slice_cache: dict = {}
+
+        def sliced(kind, payload, c):
+            key = (id(payload), c)
+            got = slice_cache.get(key)
+            if got is not None:
+                return got
+            if kind == "eqj":
+                out = list(payload[c * s:(c + 1) * s])
+            elif kind == "eqk":
+                out = payload  # k tables replicate across shards
+            elif kind == "colsparse":
+                out = SparseCubeTable(log_k, slice_log_t)
+                out.cols = [list(col) for col in
+                            payload.cols[c * s:(c + 1) * s]]
+            elif kind == "colinc":
+                out = IncrementalCubeTable(log_k, slice_log_t)
+                out.updates = [list(u) for u in
+                               payload.updates[c * s:(c + 1) * s]]
+            else:
+                raise SumCheckError(f"unknown factor kind {kind}")
+            slice_cache[key] = out
+            return out
+
+        self.shards = []
+        for c in range(n_dev):
+            shard_terms = [
+                (coeff, [(kind, sliced(kind, payload, c))
+                         for kind, payload in factors])
+                for coeff, factors in terms
+            ]
+            self.shards.append(
+                SparseCubeOracle(log_k, slice_log_t, shard_terms,
+                                 use_native=False)
+            )
+
+    def _seed_shards(self) -> None:
+        """Exclusive prefix of shard-local colinc delta totals at the
+        current fold level (the per-round scan collective)."""
+        from ..field.fr import MODULUS
+
+        n_inc = len(self.shards[0]._inc)
+        k_rem = self.shards[0]._k_rem
+        prefix = [[0] * k_rem for _ in range(n_inc)]
+        for sh in self.shards:
+            sh.set_colinc_start([list(vec) for vec in prefix])
+            for ii, ups in enumerate(sh._inc):
+                vec = prefix[ii]
+                for col in ups:
+                    for pos, d in col:
+                        vec[pos] = (vec[pos] + d) % MODULUS
+        self._final_prefix = prefix
+
+    def round_evaluations(self, round_index: int):
+        from ..field.fr import MODULUS, Fr
+
+        if self._round < self.log_k:
+            self._seed_shards()
+            acc = [0, 0, 0, 0]
+            for sh in self.shards:
+                ev = sh._k_round_evals()
+                for x in range(4):
+                    acc[x] = (acc[x] + int(ev[x])) % MODULUS
+            return [Fr(v) for v in acc]  # the psum
+        if self._delegate is None:
+            self._build_delegate()
+        return self._delegate.round_evaluations(round_index - self.log_k)
+
+    def bind(self, challenge) -> None:
+        if self._round < self.log_k:
+            for sh in self.shards:
+                sh._k_bind(challenge)
+        else:
+            if self._delegate is None:
+                self._build_delegate()
+            self._delegate.bind(challenge)
+        self._round += 1
+
+    def _build_delegate(self) -> None:
+        """Concatenate the shards' T/n-sized j-phase tables into ONE
+        mesh-wide sum-of-products oracle (tables block-shard exactly along
+        the slice boundaries)."""
+        from ..iop.sumcheck import SumCheckError
+
+        self._seed_shards()  # final (K_rem = 1) colinc start scalars
+        per_shard = [sh._delegate_terms() for sh in self.shards]
+        cat_cache: dict = {}
+        terms = []
+        for t_idx, (coeff, tabs0) in enumerate(per_shard[0]):
+            cat_tabs = []
+            for f_idx in range(len(tabs0)):
+                key = tuple(id(p[t_idx][1][f_idx]) for p in per_shard)
+                got = cat_cache.get(key)
+                if got is None:
+                    got = []
+                    for p in per_shard:
+                        got.extend(p[t_idx][1][f_idx])
+                    cat_cache[key] = got
+                cat_tabs.append(got)
+            for p in per_shard[1:]:
+                if p[t_idx][0] != coeff:
+                    raise SumCheckError("shard coeff divergence")
+            terms.append((coeff, cat_tabs))
+        self._delegate = ShardedSumOfProductsOracle(
+            self.log_t, terms, self.mesh, self.axis
+        )
+
+    def final_evaluation(self, challenges):
+        if self._delegate is None:
+            self._build_delegate()
+        return self._delegate.final_evaluation(challenges)
+
+
 # ---------------------------------------------------------------------------
 # Sharded MSM
 # ---------------------------------------------------------------------------
