@@ -27,7 +27,11 @@ def main():
     K, T = 1 << args.log_k, 1 << args.log_t
     t0 = time.perf_counter()
     pp, vp = setup_params(args.log_t - 2)
-    print(f"setup: {time.perf_counter()-t0:.1f}s", flush=True)
+    from tnsh.protocols.sound import prewarm_sound
+
+    prewarm_sound(args.log_k, args.log_t)
+    print(f"setup (incl. SRS prewarm): {time.perf_counter()-t0:.1f}s",
+          flush=True)
 
     random.seed(1)
     trace = MemoryTrace(K)

@@ -139,6 +139,14 @@ def test_hybrid_srs_msm_matches_native():
     try:
         scal = [Fr(random.randrange(MODULUS)) for _ in range(n)]
         want = _native.srs_msm(srs_id, scal)
+        # adaptive policy: a COLD bucket routes host-only (exact result,
+        # never an inline tunnel compile) and records the host rate
+        assert kzg._hybrid_srs_msm(srs_id, scal, n) == want
+        st = kzg._tpu_msm_stats[kzg._msm_bucket(srs_id, n)]
+        assert st["host"] is not None and st["tpu"] is None
+        # prewarm -> measured split engages; results stay identical
+        kzg.prewarm_tpu_msm(srs_id, n)
+        assert st["tpu"] is not None
         assert kzg._hybrid_srs_msm(srs_id, scal, n) == want
         raw = b"".join(int(s).to_bytes(32, "little") for s in scal)
         assert kzg._hybrid_srs_msm(srs_id, raw, n) == want

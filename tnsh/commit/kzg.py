@@ -51,12 +51,18 @@ from ..poly.interp import interpolate_on_range
 #: over the axon tunnel) would stall latency-sensitive callers — the sound
 #: provers issue hundreds of 2^16-point MSMs back to back.
 _TPU_MSM_MIN = int(os.environ.get("TNSH_TPU_MSM_MIN", str(1 << 18)))
-#: Fraction of the points dispatched to the TPU in the hybrid split.
-#: Measured on this environment: TPU ≈ 0.6-0.9x the 2-core native MSM, so
-#: the optimal split gives the TPU ~40% and overlaps the host on the rest
-#: (PERF_NOTES round-2/3); 0 = host only, 1 = TPU only.
-_TPU_MSM_FRACTION = float(os.environ.get("TNSH_TPU_MSM_FRACTION", "0.4"))
+#: Explicit split override (0..1); unset = ADAPTIVE: host-only until the
+#: (srs, size-bucket) is warm, then split by measured engine throughput.
+_TPU_MSM_FRACTION = os.environ.get("TNSH_TPU_MSM_FRACTION")
+#: Calls at one (srs, bucket) before a BACKGROUND thread warms the TPU
+#: context.  A cold scheduled-Pippenger compile takes minutes over the
+#: axon tunnel; routing it inline once turned a 162 s sound prove into
+#: 2840 s (round-3 measurement) — warm-up must never block a prove.
+_TPU_MSM_WARM_AFTER = int(os.environ.get("TNSH_TPU_MSM_WARM_AFTER", "2"))
 _tpu_msm_contexts: dict = {}
+#: (srs_id, bucket) -> {"host": rate_ema, "tpu": rate_ema | None,
+#:                      "calls": int, "warming": bool}
+_tpu_msm_stats: dict = {}
 
 
 def _tpu_msm_enabled() -> bool:
@@ -83,14 +89,91 @@ def _tpu_srs_context(srs_id: int):
     return ctx
 
 
+def _msm_bucket(srs_id: int, n_sc: int):
+    return (srs_id, n_sc.bit_length())
+
+
+def prewarm_tpu_msm(srs_id: int, n_sc: int) -> float:
+    """Compile + measure the TPU scheduled Pippenger for this (srs, size
+    bucket) so subsequent ``msm`` calls can split adaptively.  Returns the
+    measured TPU rate (points/s).  Blocking — call at setup time."""
+    import time
+
+    from ..field.fr import MODULUS as _R
+
+    ctx = _tpu_srs_context(srs_id)
+    blob = bytes(
+        b"".join(
+            ((7919 * i + 13) % _R).to_bytes(32, "little")
+            for i in range(n_sc)
+        )
+    )
+    ctx.msm(blob)  # compile
+    t0 = time.perf_counter()
+    ctx.msm(blob)
+    rate = n_sc / max(time.perf_counter() - t0, 1e-9)
+    st = _tpu_msm_stats.setdefault(
+        _msm_bucket(srs_id, n_sc),
+        {"host": None, "tpu": None, "calls": 0, "warming": False},
+    )
+    st["tpu"] = rate
+    return rate
+
+
+def _warm_in_background(srs_id: int, n_sc: int, st: dict) -> None:
+    import threading
+
+    def work():
+        try:
+            prewarm_tpu_msm(srs_id, n_sc)
+        except Exception:
+            st["tpu"] = None  # broken TPU path: stay host-only
+        finally:
+            st["warming"] = False
+
+    st["warming"] = True
+    threading.Thread(target=work, daemon=True).start()
+
+
 def _hybrid_srs_msm(srs_id: int, scalars, n_sc: int) -> G1:
-    """Split a large SRS MSM between the TPU (scheduled Pippenger,
-    dispatched async) and the host native Pippenger, overlapping the two
-    engines; results add to the identical group element either would
-    produce alone."""
+    """Adaptive host+TPU split for large SRS MSMs (VERDICT round-2 task 4).
+
+    Policy: the TPU participates only once its kernel is WARM for this
+    (srs, size-bucket) — warmed explicitly via :func:`prewarm_tpu_msm` or
+    by a background thread after a few calls land in the bucket.  Until
+    then the host native Pippenger runs alone (it is never slower than
+    stalling on a minutes-long tunnel compile).  Once warm, the split
+    fraction tracks the measured engine throughputs (EMA), so the hybrid
+    approaches n/(r_host + r_tpu) — at least as fast as either engine
+    alone.  Results are the identical group element any path produces."""
+    import time
+
     from .. import _native
 
-    split = int(n_sc * min(max(_TPU_MSM_FRACTION, 0.0), 1.0))
+    st = _tpu_msm_stats.setdefault(
+        _msm_bucket(srs_id, n_sc),
+        {"host": None, "tpu": None, "calls": 0, "warming": False},
+    )
+    st["calls"] += 1
+
+    if _TPU_MSM_FRACTION is not None:
+        frac = min(max(float(_TPU_MSM_FRACTION), 0.0), 1.0)
+    elif st["tpu"] is None:
+        if st["calls"] > _TPU_MSM_WARM_AFTER and not st["warming"]:
+            _warm_in_background(srs_id, n_sc, st)
+        t0 = time.perf_counter()
+        res = _native.srs_msm(srs_id, scalars)
+        host_rate = n_sc / max(time.perf_counter() - t0, 1e-9)
+        st["host"] = (
+            host_rate if st["host"] is None
+            else 0.7 * st["host"] + 0.3 * host_rate
+        )
+        return res
+    else:
+        host_rate = st["host"] or st["tpu"]
+        frac = st["tpu"] / (st["tpu"] + host_rate)
+
+    split = int(n_sc * frac)
     ctx = _tpu_srs_context(srs_id)
     if split >= n_sc:
         return ctx.msm(scalars)
@@ -100,11 +183,22 @@ def _hybrid_srs_msm(srs_id: int, scalars, n_sc: int) -> G1:
     else:
         tpu_part = list(scalars[:split])
         host_part = [Fr(0)] * split + list(scalars[split:])
+    t0 = time.perf_counter()
     finish = ctx.msm_async(tpu_part) if split else None
     host_res = _native.srs_msm(srs_id, host_part)
+    t_host = max(time.perf_counter() - t0, 1e-9)
     if finish is None:
         return host_res
-    return host_res.add(finish())
+    res = host_res.add(finish())
+    if _TPU_MSM_FRACTION is None:
+        # update throughput EMAs (TPU elapsed is bounded below by the
+        # overlapped host part, so the estimate is conservative)
+        t_all = max(time.perf_counter() - t0, 1e-9)
+        hr = (n_sc - split) / t_host
+        tr = split / t_all
+        st["host"] = hr if st["host"] is None else 0.7 * st["host"] + 0.3 * hr
+        st["tpu"] = 0.7 * st["tpu"] + 0.3 * tr
+    return res
 
 
 def msm(points: Sequence[G1], scalars: Sequence[Fr]) -> G1:

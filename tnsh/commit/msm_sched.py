@@ -232,10 +232,30 @@ def bytes_to_limb_planes(b: np.ndarray) -> np.ndarray:
 # Device kernel
 # ---------------------------------------------------------------------------
 
+_CACHE_SET = False
+
+
 def _get_jax():
+    import os
+
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    # Persistent compile cache: scheduled-Pippenger kernels compile in
+    # minutes over the axon tunnel; caching them per shape makes every
+    # process after the first start warm (PERF_NOTES backlog 6).
+    global _CACHE_SET
+    if not _CACHE_SET:
+        _CACHE_SET = True
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("TNSH_JAX_CACHE", "/tmp/tnsh_jax_cache"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        except Exception:
+            pass
 
     return jax, jnp, lax
 

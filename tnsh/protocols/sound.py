@@ -187,6 +187,24 @@ def _kinv(log_k: int) -> int:
     return pow((1 << log_k) % _P, _P - 2, _P)
 
 
+def prewarm_sound(log_k: int, log_t: int) -> None:
+    """Build every lru-cached SRS a sound prove at (K=2^log_k, T=2^log_t)
+    will touch — the whole cold-vs-warm prover gap (VERDICT round-2 task
+    7).  Call once at setup time; subsequent proves at this shape start
+    warm.  Safe under an external ceremony SRS (the factorized cube setup
+    is skipped there, matching the prover's routing)."""
+    n = log_k + log_t
+    setup_multilinear_params(log_t)
+    multilinear_verification_key(log_t)
+    multilinear_verification_key(n)
+    if n >= _SPARSE_MIN_VARS and not has_external_multilinear_srs(n):
+        cube_params(log_k, log_t)
+    elif not has_external_multilinear_srs(n):
+        setup_multilinear_params(n)
+        if n >= 1:  # dense cube opens still ride the factorized order
+            cube_params(log_k, log_t)
+
+
 # ===========================================================================
 # Shout
 # ===========================================================================
