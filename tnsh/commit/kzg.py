@@ -120,12 +120,21 @@ def prewarm_tpu_msm(srs_id: int, n_sc: int) -> float:
     return rate
 
 
-def _warm_in_background(srs_id: int, n_sc: int, st: dict) -> None:
+def _warm_in_background(srs_id: int, blob, st: dict) -> None:
+    """Compile + measure the TPU kernel for this exact split shape off the
+    hot path; once done, subsequent calls route the measured fraction."""
     import threading
+    import time
 
     def work():
         try:
-            prewarm_tpu_msm(srs_id, n_sc)
+            ctx = _tpu_srs_context(srs_id)
+            ctx.msm(blob)  # compile (minutes over a cold tunnel)
+            t0 = time.perf_counter()
+            ctx.msm(blob)
+            n = len(blob) // 32 if isinstance(blob, (bytes, bytearray)) \
+                else len(blob)
+            st["tpu"] = n / max(time.perf_counter() - t0, 1e-9)
         except Exception:
             st["tpu"] = None  # broken TPU path: stay host-only
         finally:
@@ -138,12 +147,14 @@ def _warm_in_background(srs_id: int, n_sc: int, st: dict) -> None:
 def _hybrid_srs_msm(srs_id: int, scalars, n_sc: int) -> G1:
     """Adaptive host+TPU split for large SRS MSMs (VERDICT round-2 task 4).
 
-    Policy: the TPU participates only once its kernel is WARM for this
-    (srs, size-bucket) — warmed explicitly via :func:`prewarm_tpu_msm` or
-    by a background thread after a few calls land in the bucket.  Until
-    then the host native Pippenger runs alone (it is never slower than
-    stalling on a minutes-long tunnel compile).  Once warm, the split
-    fraction tracks the measured engine throughputs (EMA), so the hybrid
+    Policy: the TPU participates only when the scheduled-Pippenger kernel
+    for THIS EXACT split shape is already compiled (``msm_async(...,
+    only_if_compiled=True)``) — warming happens via
+    :func:`prewarm_tpu_msm` or a background thread after a few calls land
+    in the (srs, size) bucket, never inline (a cold shape costs ~60 s of
+    client tracing + a minutes-long tunnel compile; routing it inline
+    once turned a 162 s sound prove into 2840 s).  Once warm, the split
+    fraction tracks the measured engine throughput EMAs, so the hybrid
     approaches n/(r_host + r_tpu) — at least as fast as either engine
     alone.  Results are the identical group element any path produces."""
     import time
@@ -158,37 +169,39 @@ def _hybrid_srs_msm(srs_id: int, scalars, n_sc: int) -> G1:
 
     if _TPU_MSM_FRACTION is not None:
         frac = min(max(float(_TPU_MSM_FRACTION), 0.0), 1.0)
-    elif st["tpu"] is None:
-        if st["calls"] > _TPU_MSM_WARM_AFTER and not st["warming"]:
-            _warm_in_background(srs_id, n_sc, st)
-        t0 = time.perf_counter()
-        res = _native.srs_msm(srs_id, scalars)
-        host_rate = n_sc / max(time.perf_counter() - t0, 1e-9)
-        st["host"] = (
-            host_rate if st["host"] is None
-            else 0.7 * st["host"] + 0.3 * host_rate
-        )
-        return res
+    elif st["tpu"] is not None and st["host"]:
+        frac = st["tpu"] / (st["tpu"] + st["host"])
     else:
-        host_rate = st["host"] or st["tpu"]
-        frac = st["tpu"] / (st["tpu"] + host_rate)
-
+        frac = 0.4  # first warm call: the round-2 measured starting point
     split = int(n_sc * frac)
-    ctx = _tpu_srs_context(srs_id)
-    if split >= n_sc:
-        return ctx.msm(scalars)
+
     if isinstance(scalars, (bytes, bytearray)):
         tpu_part = scalars[: 32 * split]
         host_part = bytes(32 * split) + bytes(scalars[32 * split:])
     else:
         tpu_part = list(scalars[:split])
         host_part = [Fr(0)] * split + list(scalars[split:])
+
+    finish = None
     t0 = time.perf_counter()
-    finish = ctx.msm_async(tpu_part) if split else None
+    if split >= 1:
+        ctx = _tpu_srs_context(srs_id)
+        finish = ctx.msm_async(
+            tpu_part, only_if_compiled=_TPU_MSM_FRACTION is None
+        )
+    if finish is None:
+        # cold kernel shape: host runs everything; maybe warm off-path
+        if (_TPU_MSM_FRACTION is None and split >= 1
+                and st["calls"] > _TPU_MSM_WARM_AFTER
+                and not st["warming"]):
+            _warm_in_background(srs_id, tpu_part, st)
+        t0 = time.perf_counter()
+        res = _native.srs_msm(srs_id, scalars)
+        hr = n_sc / max(time.perf_counter() - t0, 1e-9)
+        st["host"] = hr if st["host"] is None else 0.7 * st["host"] + 0.3 * hr
+        return res
     host_res = _native.srs_msm(srs_id, host_part)
     t_host = max(time.perf_counter() - t0, 1e-9)
-    if finish is None:
-        return host_res
     res = host_res.add(finish())
     if _TPU_MSM_FRACTION is None:
         # update throughput EMAs (TPU elapsed is bounded below by the
@@ -197,7 +210,7 @@ def _hybrid_srs_msm(srs_id: int, scalars, n_sc: int) -> G1:
         hr = (n_sc - split) / t_host
         tr = split / t_all
         st["host"] = hr if st["host"] is None else 0.7 * st["host"] + 0.3 * hr
-        st["tpu"] = 0.7 * st["tpu"] + 0.3 * tr
+        st["tpu"] = tr if st["tpu"] is None else 0.7 * st["tpu"] + 0.3 * tr
     return res
 
 

@@ -337,6 +337,11 @@ def _window_sums(fq, _padd, X, Y, Z, w_count: int):
     return X[:, sel], Y[:, sel], Z[:, sel]
 
 
+#: (chunks, m, w_count, r_c) shapes whose kernels have been jit-compiled
+#: in this process — the warm gate for ``msm_async(only_if_compiled=True)``.
+_COMPILED_SHAPES: set = set()
+
+
 @lru_cache(maxsize=64)
 def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
     """Jitted MSM kernel for a static (chunks, m, W, R_c) configuration.
@@ -539,13 +544,19 @@ class ScheduledMsmContext:
         """Σ scalars[i] · base[i] over the first len(scalars) base points."""
         return self.msm_async(scalars)()
 
-    def msm_async(self, scalars):
+    def msm_async(self, scalars, only_if_compiled: bool = False):
         """Dispatch the MSM and return a zero-arg finisher.
 
         The device crunches between dispatch and the finisher call, so a
         caller can overlap host work (the hybrid host+TPU split in
         kzg.msm runs the native MSM on the complementary points while
-        this executes)."""
+        this executes).
+
+        ``only_if_compiled=True``: return None instead of paying a cold
+        jit for a new kernel shape — tracing+lowering the scheduled
+        kernel costs ~60 s client-side per shape and a tunnel compile on
+        top, which must never land inline in a prove (kzg's adaptive
+        hybrid checks this before routing points here)."""
         _, jnp, _ = _get_jax()
         if isinstance(scalars, (bytes, bytearray)):
             n = len(scalars) // 32
@@ -568,8 +579,15 @@ class ScheduledMsmContext:
         plan = MsmPlan(d, m)
         if plan.r_exact == 0:
             return G1.zero
-        r_c = max((plan.r_exact + 15) // 16 * 16, 16)
+        # next-pow2 capacity: extra schedule rows are zeros the per-chunk
+        # dynamic bound skips, so quantizing collapses the data-dependent
+        # r_exact into ONE compile shape per size bucket
+        r_c = max(1 << (plan.r_exact - 1).bit_length(), 16)
+        key = (chunks, m, w_count, r_c)
+        if only_if_compiled and key not in _COMPILED_SHAPES:
+            return None
         kern = _compiled_msm_kernel(chunks, m, w_count, r_c)
+        _COMPILED_SHAPES.add(key)
         Xw, Yw, Zw, hz = kern(
             self.xs, self.ys, jnp.asarray(d),
             jnp.asarray(plan.base_map), jnp.asarray(plan.logk_map),
