@@ -132,6 +132,8 @@ def _load() -> None:
         ("sco_bind", [ctypes.c_int, c_u8p], None),
         ("sco_make_sop", [ctypes.c_int], ctypes.c_int),
         ("sco_free", [ctypes.c_int], None),
+        ("fr_eq_table", [c_u8p, ctypes.c_int, c_u8p], None),
+        ("fr_lt_table", [c_u8p, ctypes.c_int, c_u8p], None),
     ]:
         fn = getattr(lib, name)
         fn.argtypes = argtypes
@@ -308,6 +310,22 @@ def fr_lagrange_tau(tau, n: int) -> bytes:
     return raw.raw
 
 
+def fr_eq_table(point) -> bytes:
+    """Raw bytes of [eq(b, point)] over {0,1}^n, little-endian bit order."""
+    pb = b"".join(int(p).to_bytes(32, "little") for p in point)
+    raw, out = _out(32 << len(point))
+    _lib.fr_eq_table(_buf(pb), len(point), out)
+    return raw.raw
+
+
+def fr_lt_table(y) -> bytes:
+    """Raw bytes of [lt~(bits(j), y)] over {0,1}^n."""
+    pb = b"".join(int(p).to_bytes(32, "little") for p in y)
+    raw, out = _out(32 << len(y))
+    _lib.fr_lt_table(_buf(pb), len(y), out)
+    return raw.raw
+
+
 def fr_ml_open(values, point):
     """(value, [quotient_bytes per variable]) of a multilinear opening.
 
@@ -421,6 +439,9 @@ def _fr_vec_bytes(vals) -> bytes:
     """
     if isinstance(vals, (bytes, bytearray)):
         return bytes(vals)
+    raw = getattr(vals, "raw", None)  # FrTable: already 32 B LE words
+    if raw is not None:
+        return raw
     try:
         import numpy as _np
 

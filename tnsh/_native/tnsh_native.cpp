@@ -2002,6 +2002,81 @@ void sco_free(int id) {
     }
 }
 
+// ---- eq / lt evaluation tables ---------------------------------------------
+// Same values as tnsh/poly/eq.py (exact field arithmetic, little-endian bit
+// order); built in Montgomery form with one from_mont pass at the end.  The
+// Python builders cost seconds at T = 2^18+ (2*T bigint muls + 32 B/elem
+// marshalling) and these tables front every sound-mode sum-check term.
+
+// point: n_vars * 32 B standard-form Fr.  out: 2^n_vars * 32 B standard.
+void fr_eq_table(const uint8_t *point, int n_vars, uint8_t *out) {
+    size_t size = (size_t)1 << n_vars;
+    std::vector<u64> tab(4 * size);
+    memcpy(tab.data(), FR.one, 32);
+    size_t cur = 1;
+    for (int i = 0; i < n_vars; i++) {
+        u64 raw[4], t[4], nt[4];
+        bytes_to_limbs(raw, point + 32 * (size_t)i);
+        to_mont(t, raw, FR);
+        sub_mod(nt, FR.one, t, FR);
+        // new bit joins as the SLOWEST index bit: high half = v*t,
+        // low half = v*(1-t); descending j keeps the in-place write safe
+        for (size_t j = cur; j-- > 0;) {
+            u64 *lo = &tab[4 * j];
+            mmul(&tab[4 * (cur + j)], lo, t, FR);
+            mmul(lo, lo, nt, FR);
+        }
+        cur <<= 1;
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (size >= 16384)
+#endif
+    for (long long j = 0; j < (long long)size; j++) {
+        u64 s[4];
+        from_mont(s, &tab[4 * j], FR);
+        limbs_to_bytes(out + 32 * j, s);
+    }
+}
+
+// [lt~(bits(j), y)] via the top-bit recursion: adding bit i as the new
+// slowest index bit, lt(j + b*2^i) = (1-b)*y_i + eq(b, y_i)*lt(j) and
+// eq(j + b*2^i) = eq(b, y_i)*eq(j) — identical values to the Python
+// MSB-down construction in tnsh/poly/eq.py.
+void fr_lt_table(const uint8_t *y, int n_vars, uint8_t *out) {
+    size_t size = (size_t)1 << n_vars;
+    std::vector<u64> lt(4 * size, 0), eq(4 * size);
+    memcpy(eq.data(), FR.one, 32);
+    size_t cur = 1;
+    for (int i = 0; i < n_vars; i++) {
+        u64 raw[4], t[4], nt[4];
+        bytes_to_limbs(raw, y + 32 * (size_t)i);
+        to_mont(t, raw, FR);
+        sub_mod(nt, FR.one, t, FR);
+        for (size_t j = cur; j-- > 0;) {
+            u64 *lo_lt = &lt[4 * j];
+            u64 *lo_eq = &eq[4 * j];
+            u64 *hi_lt = &lt[4 * (cur + j)];
+            u64 *hi_eq = &eq[4 * (cur + j)];
+            // b = 1: lt' = y_i * lt ; eq' = y_i * eq
+            mmul(hi_lt, lo_lt, t, FR);
+            mmul(hi_eq, lo_eq, t, FR);
+            // b = 0: lt' = y_i + (1-y_i) * lt ; eq' = (1-y_i) * eq
+            mmul(lo_lt, lo_lt, nt, FR);
+            add_mod(lo_lt, lo_lt, t, FR);
+            mmul(lo_eq, lo_eq, nt, FR);
+        }
+        cur <<= 1;
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (size >= 16384)
+#endif
+    for (long long j = 0; j < (long long)size; j++) {
+        u64 s[4];
+        from_mont(s, &lt[4 * j], FR);
+        limbs_to_bytes(out + 32 * j, s);
+    }
+}
+
 }  // extern "C"
 
 // ---- G1 ----

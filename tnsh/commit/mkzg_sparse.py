@@ -59,8 +59,23 @@ from .mkzg import MLOpeningProof, MLVerificationKey
 _P = MODULUS
 
 
-def eq_table_ints(point: Sequence[int]) -> List[int]:
-    """eq(b, point) for all b, little-endian (bit 0 = point[0])."""
+def eq_table_ints(point: Sequence[int]):
+    """eq(b, point) for all b, little-endian (bit 0 = point[0]).
+
+    Large tables come back as a bytes-backed ``FrTable`` (same values,
+    list-like) built by the native kernel."""
+    if len(point) >= 11:
+        import os
+
+        if not os.environ.get("TNSH_NO_NATIVE"):
+            from .. import _native
+
+            if _native.available:
+                from ..field.fr import FrTable
+
+                return FrTable(
+                    _native.fr_eq_table([int(p) % _P for p in point])
+                )
     table = [1]
     for t in point:
         ti = int(t) % _P

@@ -195,3 +195,54 @@ def batch_inverse(elements: Sequence[Fr]) -> List[Fr]:
         inv = inv * int(elements[i]) % _P
     result[0] = Fr(inv)
     return result
+
+
+class FrTable:
+    """A read-only vector of canonical Fr values backed by raw 32-byte LE
+    words — the zero-copy bridge between native table builders
+    (``_native.fr_eq_table`` / ``fr_lt_table``) and native table consumers
+    (sum-check oracles, MSMs): producers hand over ``raw`` untouched and
+    ``_native._fr_vec_bytes`` passes it straight back down.  Quacks like a
+    list of ints for the Python fallback paths (len / index / slice /
+    iterate); materialize with ``list(table)`` before element-heavy Python
+    loops."""
+
+    __slots__ = ("raw",)
+
+    def __init__(self, raw: bytes):
+        if len(raw) & 31:
+            raise ValueError("FrTable raw length must be a multiple of 32")
+        self.raw = raw
+
+    def __len__(self) -> int:
+        return len(self.raw) >> 5
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            start, stop, step = i.indices(len(self))
+            if step == 1:
+                return FrTable(self.raw[32 * start:32 * stop])
+            return [self[j] for j in range(start, stop, step)]
+        n = len(self)
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError("FrTable index out of range")
+        return int.from_bytes(self.raw[32 * i:32 * i + 32], "little")
+
+    def __iter__(self):
+        raw = self.raw
+        for off in range(0, len(raw), 32):
+            yield int.from_bytes(raw[off:off + 32], "little")
+
+    def __eq__(self, other):
+        if isinstance(other, FrTable):
+            return self.raw == other.raw
+        if isinstance(other, (list, tuple)):
+            return len(other) == len(self) and all(
+                int(a) == b for a, b in zip(other, self)
+            )
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(self.raw)

@@ -87,7 +87,12 @@ class SparseCubeOracle(SumcheckOracle):
                         if len(payload) != t_size:
                             raise SumCheckError("eqj table size mismatch")
                         seen[key] = len(self._eqj)
-                        self._eqj.append([int(v) % _P for v in payload])
+                        # bytes-backed FrTable payloads pass through to the
+                        # native marshal untouched (values are canonical)
+                        self._eqj.append(
+                            payload if hasattr(payload, "raw")
+                            else [int(v) % _P for v in payload]
+                        )
                     eqj_idx.append(seen[key])
                 elif kind == "eqk":
                     key = ("eqk", id(payload))

@@ -212,7 +212,12 @@ class SumOfProductsOracle(SumcheckOracle):
                     if len(t) != size:
                         raise SumCheckError("table size mismatch")
                     seen[key] = len(self._tables)
-                    self._tables.append([int(v) % _P for v in t])
+                    # bytes-backed FrTable payloads (native eq/lt tables)
+                    # pass through to the native marshal untouched
+                    self._tables.append(
+                        t if hasattr(t, "raw")
+                        else [int(v) % _P for v in t]
+                    )
                 idxs.append(seen[key])
             self._terms.append((int(coeff) % _P, idxs))
         if not self._terms:

@@ -22,8 +22,33 @@ from ..field.fr import MODULUS, Fr
 _P = MODULUS
 
 
-def eq_table(point: Sequence[Fr]) -> List[int]:
-    """[eq(b, point) for b in {0,1}^n] as ints, little-endian bit order."""
+#: Table sizes at or above this build natively (bytes-backed FrTable):
+#: the Python doubling loop costs 2*2^n bigint muls plus 32 B/elem
+#: marshalling whenever the table feeds a native oracle.
+_NATIVE_TABLE_MIN_VARS = 11
+
+
+def _native_mod():
+    import os
+
+    if os.environ.get("TNSH_NO_NATIVE"):
+        return None
+    from .. import _native
+
+    return _native if _native.available else None
+
+
+def eq_table(point: Sequence[Fr]):
+    """[eq(b, point) for b in {0,1}^n], little-endian bit order.
+
+    Returns a list of ints, or a bytes-backed ``FrTable`` (same values,
+    list-like) for large n when the native builder is available."""
+    if len(point) >= _NATIVE_TABLE_MIN_VARS:
+        native = _native_mod()
+        if native is not None:
+            from ..field.fr import FrTable
+
+            return FrTable(native.fr_eq_table([int(p) % _P for p in point]))
     table = [1]
     for t in point:  # variable m joins as the SLOWEST bit so far -> bit m
         ti = int(t)
@@ -72,6 +97,12 @@ def lt_partial_table(num_vars: int, y: Sequence[Fr]) -> List[int]:
     """
     if len(y) != num_vars:
         raise ValueError("lt_partial_table arity mismatch")
+    if num_vars >= _NATIVE_TABLE_MIN_VARS:
+        native = _native_mod()
+        if native is not None:
+            from ..field.fr import FrTable
+
+            return FrTable(native.fr_lt_table([int(p) % _P for p in y]))
     # tables indexed by the TOP bits processed so far; start with empty
     lt_tab = [0]
     eq_tab = [1]
