@@ -60,6 +60,7 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             line = (f"2^{ls} {name}: TPU cold {cold:.2f}s warm {best:.3f}s "
                     f"({n/best/1e3:.0f}k pts/s)")
+            host = None
             if not args.skip_host:
                 t0 = time.perf_counter()
                 want = _native.srs_msm(srs_id, scal)
@@ -68,6 +69,32 @@ def main():
                          f" | {'MATCH' if got == want else 'MISMATCH!!'}"
                          f" | speedup {host/best:.1f}x")
             print(line, flush=True)
+
+            if name == "full" and host is not None:
+                # adaptive hybrid (VERDICT round-2 task 4 done-bar): seed
+                # the measured rates, compile the split shape, measure
+                from tnsh.commit import kzg
+
+                st = kzg._tpu_msm_stats.setdefault(
+                    kzg._msm_bucket(srs_id, n),
+                    {"host": None, "tpu": None, "calls": 0,
+                     "warming": False},
+                )
+                st["host"] = n / host
+                st["tpu"] = n / best
+                frac = st["tpu"] / (st["tpu"] + st["host"])
+                split = int(n * frac)
+                ctx.msm(scal[:32 * split])  # compile the split shape
+                best_h = 1e9
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    got_h = kzg._hybrid_srs_msm(srs_id, scal, n)
+                    best_h = min(best_h, time.perf_counter() - t0)
+                ref = min(host, best)
+                print(f"2^{ls} hybrid (frac {frac:.2f}): {best_h:.3f}s "
+                      f"({n/best_h/1e3:.0f}k pts/s) | "
+                      f"{'MATCH' if got_h == want else 'MISMATCH!!'} | "
+                      f"{ref/best_h:.2f}x best single engine", flush=True)
         _native.srs_free(srs_id)
 
 

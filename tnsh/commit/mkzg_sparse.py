@@ -118,11 +118,13 @@ def cube_params(log_k: int, log_t: int) -> CubeParams:
 
     native = _native.available and not os.environ.get("TNSH_NO_NATIVE")
 
-    def make_base(scalars: List[int]) -> object:
+    def make_base(scalars) -> object:
         if native:
             from ..core.params import NativeSRS
 
-            seg = b"".join(s.to_bytes(32, "little") for s in scalars)
+            seg = getattr(scalars, "raw", None)  # FrTable: zero-copy
+            if seg is None:
+                seg = b"".join(s.to_bytes(32, "little") for s in scalars)
             return NativeSRS(_native.srs_create_fixed_base(g1, seg))
         return [g1.scalar_mul(s) for s in scalars]
 
@@ -130,7 +132,7 @@ def cube_params(log_k: int, log_t: int) -> CubeParams:
     j_bases = [make_base(eq_table_ints(tau_j[lv:])) for lv in range(log_t + 1)]
     k_bases = [make_base(eq_table_ints(tau_k[lv:])) for lv in range(log_k + 1)]
     eqk_tables = [
-        eq_table_ints([int(t) for t in taus[i:log_k]])
+        list(eq_table_ints([int(t) for t in taus[i:log_k]]))
         for i in range(log_k + 1)
     ]
     if native:
@@ -268,7 +270,7 @@ def _open_j_then_k(params: CubeParams, s: List[int], make_g,
         qj.append(_msm_over(params.j_bases[i + 1], diff))
         cur = [(cur[2 * x] + r * diff[x]) % _P for x in range(half)]
 
-    g = make_g(eq_table_ints(rj))
+    g = make_g(list(eq_table_ints(rj)))
     qk: List[G1] = []
     for i, r in enumerate(rk):
         half = len(g) // 2
@@ -325,8 +327,8 @@ def open_incremental(params: CubeParams, table: IncrementalCubeTable,
 
 def sparse_mle_eval(table: SparseCubeTable, point: Sequence[Fr]) -> Fr:
     """~table(point) for a column-sparse cube table, O(nnz + T + K)."""
-    eqk = eq_table_ints([int(p) for p in point[:table.log_k]])
-    eqj = eq_table_ints([int(p) for p in point[table.log_k:]])
+    eqk = list(eq_table_ints([int(p) for p in point[:table.log_k]]))
+    eqj = list(eq_table_ints([int(p) for p in point[table.log_k:]]))
     acc = 0
     for j, col in enumerate(table.cols):
         if col:

@@ -102,8 +102,8 @@ _SPARSE_MIN_VARS = 14
 def _incremental_mle_eval(table: IncrementalCubeTable, point: Sequence[Fr],
                           log_k: int) -> Fr:
     """~table(point) for a column-incremental cube table, O(T log K)."""
-    eqk = eq_table_ints([int(p) for p in point[:log_k]])
-    eqj = eq_table_ints([int(p) for p in point[log_k:]])
+    eqk = list(eq_table_ints([int(p) for p in point[:log_k]]))
+    eqj = list(eq_table_ints([int(p) for p in point[log_k:]]))
     cur = 0
     acc = 0
     for j, ups in enumerate(table.updates):
