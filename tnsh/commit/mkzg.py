@@ -403,12 +403,25 @@ def batch_verify_openings(items) -> bool:
             g[2][m] = g[2][m].add(smul(q, w))
         weight = weight * gamma
 
-    left = acc_c - smul(g1_gen, acc_v)
-    pairs = [(left.neg(), g2_gen)]
+    # e(Q, [tau_m] - r_m [1]_2) would need a G2 scalar-mul per variable
+    # per group (the dominant verify cost at ~2n+k pairs); instead fold
+    # the -r_m side into G1 — e(Q, [tau_m]) * e(-r_m Q, [1]_2) — so the
+    # [1]_2 terms all merge into ONE pair and pairs sharing the same
+    # [tau_m]_2 point (same vk level, any opening point) merge too.
+    gen_acc = acc_c.neg().add(smul(g1_gen, acc_v))  # = -(acc_c - [v]G)
+    tau_acc = {}  # id(g2_tau point) -> [g2_point, G1 accumulator]
     for vk, point, qsums in groups.values():
         for m, q in enumerate(qsums):
-            g2_term = vk.g2_taus[m] - g2_gen.scalar_mul(int(point[m]))
-            pairs.append((q, g2_term))
+            t2 = vk.g2_taus[m]
+            key = id(t2)
+            slot = tau_acc.get(key)
+            if slot is None:
+                slot = [t2, G1.zero()]
+                tau_acc[key] = slot
+            slot[1] = slot[1].add(q)
+            gen_acc = gen_acc.add(smul(q, (-int(point[m])) % _P))
+    pairs = [(gen_acc, g2_gen)]
+    pairs += [(acc, t2) for t2, acc in tau_acc.values()]
     if not os.environ.get("TNSH_NO_NATIVE"):
         from .. import _native
 
