@@ -40,6 +40,39 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Supplementary: the verifier-enforced batched sound prover (protocol
+    # v2) at K=2^10 T=2^14 — the capability the reference lacks entirely.
+    try:
+        import random
+
+        from tnsh.protocols.sound import TwistSound, prewarm_sound
+        from tnsh.protocols.twist import MemoryTrace
+        from tnsh.core.params import setup_params as _sp
+        from tnsh.field.fr import Fr as _F
+
+        s_pp, s_vp = _sp(12)
+        prewarm_sound(10, 14)
+        random.seed(1)
+        tr = MemoryTrace(1 << 10)
+        for i in range(1 << 14):
+            if i % 3 == 0:
+                tr.write(random.randrange(1 << 10), _F(42 * i))
+            else:
+                tr.read(random.randrange(1 << 10))
+        t0 = time.perf_counter()
+        sproof = TwistSound.prove(tr, s_pp)
+        t1 = time.perf_counter()
+        ok = TwistSound.verify(sproof, s_vp)
+        t2 = time.perf_counter()
+        print(
+            f"[bench] twist_sound K=2^10 T=2^14: prove {t1 - t0:.2f} s "
+            f"({(1 << 14) / (t1 - t0):.0f} ops/s), verify "
+            f"{(t2 - t1) * 1e3:.0f} ms, valid={ok}",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        print(f"[bench] twist_sound skipped: {exc}", file=sys.stderr)
+
     # Supplementary: vectorized Fr Montgomery-mul throughput on the default
     # JAX backend (the real TPU chip when run under the driver).  Runs in a
     # subprocess with a hard timeout so a wedged TPU tunnel can never hang

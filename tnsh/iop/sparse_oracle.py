@@ -106,9 +106,11 @@ class SparseCubeOracle(SumcheckOracle):
                     key = ("sp", id(payload))
                     if key not in seen:
                         seen[key] = len(self._sparse)
-                        self._sparse.append(
-                            [list(c) for c in payload.cols]
-                        )
+                        # reference, not copy: rounds only READ columns and
+                        # _k_bind rebinds to freshly built folded lists, so
+                        # the caller's table is never mutated (copying cost
+                        # ~800 MB RSS at T=2^20)
+                        self._sparse.append(payload.cols)
                     if sp_idx is not None and sp_idx != seen[key]:
                         raise SumCheckError(
                             "one distinct colsparse factor per term"
@@ -119,9 +121,7 @@ class SparseCubeOracle(SumcheckOracle):
                     key = ("inc", id(payload))
                     if key not in seen:
                         seen[key] = len(self._inc)
-                        self._inc.append(
-                            [list(u) for u in payload.updates]
-                        )
+                        self._inc.append(payload.updates)  # see colsparse
                         self._inc_cur.append([0] * (1 << log_k))
                     inc_idx.append(seen[key])
                 else:
