@@ -204,10 +204,13 @@ class IncrementalCubeTable:
 # Commit
 # ---------------------------------------------------------------------------
 
-def _msm_over(base: object, scalars: List[int]) -> G1:
+def _msm_over(base: object, scalars) -> G1:
     import os
 
-    data = b"".join(s.to_bytes(32, "little") for s in scalars)
+    if isinstance(scalars, (bytes, bytearray)):
+        data = scalars
+    else:
+        data = b"".join(s.to_bytes(32, "little") for s in scalars)
     from ..core.params import NativeSRS
 
     if isinstance(base, NativeSRS) and not os.environ.get("TNSH_NO_NATIVE"):
@@ -256,22 +259,48 @@ def _open_j_then_k(params: CubeParams, s: List[int], make_g,
     ``make_g(eqw)``: builds the k-residue K-vector
     g(k) = sum_j eqw[j] * column_j(k) from the eq-table of the j-point.
     Quotients are returned in VARIABLE order (k levels first)."""
+    import os
+
     log_k, log_t = params.log_k, params.log_t
     if len(point) != log_k + log_t:
         raise CommitmentError("opening point has wrong arity")
     rk = [int(p) % _P for p in point[:log_k]]
     rj = [int(p) % _P for p in point[log_k:]]
 
-    qj: List[G1] = []
-    cur = s
-    for i, r in enumerate(rj):
-        half = len(cur) // 2
-        diff = [(cur[2 * x + 1] - cur[2 * x]) % _P for x in range(half)]
-        qj.append(_msm_over(params.j_bases[i + 1], diff))
-        cur = [(cur[2 * x] + r * diff[x]) % _P for x in range(half)]
+    native = None
+    if not os.environ.get("TNSH_NO_NATIVE"):
+        from .. import _native
+
+        if _native.available:
+            native = _native
+
+    if native is not None and log_t > 0:
+        # the fold-and-quotient pass IS a multilinear opening over the
+        # j variables: one native call yields every level's quotient
+        # bytes, which feed the MSMs with zero Python field ops
+        _, j_levels = native.fr_ml_open(s, [Fr(x) for x in rj])
+        qj = [
+            _msm_over(params.j_bases[i + 1], j_levels[i])
+            for i in range(log_t)
+        ]
+    else:
+        qj = []
+        cur = s
+        for i, r in enumerate(rj):
+            half = len(cur) // 2
+            diff = [(cur[2 * x + 1] - cur[2 * x]) % _P for x in range(half)]
+            qj.append(_msm_over(params.j_bases[i + 1], diff))
+            cur = [(cur[2 * x] + r * diff[x]) % _P for x in range(half)]
 
     g = make_g(list(eq_table_ints(rj)))
-    qk: List[G1] = []
+    if native is not None and log_k > 0:
+        gval, k_levels = native.fr_ml_open(g, [Fr(x) for x in rk])
+        qk = [
+            _msm_over(params.k_bases[i + 1], k_levels[i])
+            for i in range(log_k)
+        ]
+        return Fr(int(gval) % _P), MLOpeningProof(qk + qj)
+    qk = []
     for i, r in enumerate(rk):
         half = len(g) // 2
         diff = [(g[2 * x + 1] - g[2 * x]) % _P for x in range(half)]
