@@ -503,23 +503,40 @@ def sop_free(sop_id: int) -> None:
 # -- native sparse-cube sum-check oracle (k-phase) ----------------------------
 
 def _sco_csr(tabs, t_size: int):
-    """Global CSR arrays for a list of per-column entry lists."""
-    offs: List[int] = []
+    """Global CSR arrays for a list of per-column entry lists.
+
+    Returns (off_np, pos_np, val_bytes): int32 numpy arrays (callers pass
+    ``arr.ctypes.data_as(...)`` and must keep the arrays alive across the
+    native call) — building 1M-entry ctypes arrays element-wise cost ~1 s
+    per prove at T=2^20."""
+    import numpy as _np
+
+    lens: List[int] = []
     poss: List[int] = []
     vals: List[int] = []
-    total = 0
     for cols in tabs:
-        offs.append(total)
         for col in cols:
+            lens.append(len(col))
             for p, v in col:
                 poss.append(p)
                 vals.append(int(v))
-            total += len(col)
-            offs.append(total)
         # each table contributes t_size+1 offsets (incl. its leading one)
-    off_arr = (ctypes.c_int32 * len(offs))(*offs)
-    pos_arr = (ctypes.c_int32 * max(len(poss), 1))(*poss)
-    return off_arr, pos_arr, _fr_vec_bytes(vals)
+    n_off = len(lens) + len(tabs)
+    off_np = _np.zeros(max(n_off, 1), dtype=_np.int32)
+    if lens:
+        # per-table leading offset repeats the running total: splice the
+        # cumsum with duplicates at each table boundary
+        cs = _np.cumsum(_np.asarray(lens, dtype=_np.int64))
+        out_i = 0
+        in_i = 0
+        for cols in tabs:
+            off_np[out_i] = cs[in_i - 1] if in_i else 0
+            k = len(cols)
+            off_np[out_i + 1:out_i + 1 + k] = cs[in_i:in_i + k]
+            out_i += 1 + k
+            in_i += k
+    pos_np = _np.asarray(poss if poss else [0], dtype=_np.int32)
+    return off_np, pos_np, _fr_vec_bytes(vals)
 
 
 def sco_create(log_k: int, log_t: int, eqk_tables, eqj_tables, sparse_tabs,
@@ -549,11 +566,15 @@ def sco_create(log_k: int, log_t: int, eqk_tables, eqj_tables, sparse_tabs,
         spec.append(len(inc_idx))
         spec.extend(inc_idx)
     spec_arr = (ctypes.c_int32 * len(spec))(*spec)
+
+    def _i32p(arr):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
     return int(_lib.sco_create(
         log_k, log_t, _buf(eqk_blob), len(eqk_tables),
         _buf(eqj_blob), len(eqj_tables),
-        sp_off, sp_pos, _buf(sp_val), len(sparse_tabs),
-        inc_off, inc_pos, _buf(inc_val), len(inc_tabs),
+        _i32p(sp_off), _i32p(sp_pos), _buf(sp_val), len(sparse_tabs),
+        _i32p(inc_off), _i32p(inc_pos), _buf(inc_val), len(inc_tabs),
         _buf(c_blob), spec_arr, len(term_spec),
     ))
 
