@@ -134,6 +134,32 @@ def _load() -> None:
         ("sco_free", [ctypes.c_int], None),
         ("fr_eq_table", [c_u8p, ctypes.c_int, c_u8p], None),
         ("fr_lt_table", [c_u8p, ctypes.c_int, c_u8p], None),
+        (
+            "wt_col_scalars",
+            [ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+             c_u8p, ctypes.c_longlong, c_u8p, ctypes.c_longlong,
+             ctypes.c_int, c_u8p, ctypes.POINTER(ctypes.c_uint64)],
+            None,
+        ),
+        (
+            "wt_residue",
+            [ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+             c_u8p, ctypes.c_longlong, c_u8p, ctypes.c_longlong,
+             ctypes.c_int, c_u8p, ctypes.POINTER(ctypes.c_uint64)],
+            None,
+        ),
+        (
+            "wt_export_std",
+            [ctypes.POINTER(ctypes.c_uint64), ctypes.c_longlong, c_u8p],
+            None,
+        ),
+        (
+            "wt_mle",
+            [ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+             c_u8p, ctypes.c_longlong, c_u8p, ctypes.c_longlong, c_u8p,
+             ctypes.c_int, c_u8p],
+            None,
+        ),
     ]:
         fn = getattr(lib, name)
         fn.argtypes = argtypes
@@ -324,6 +350,71 @@ def fr_lt_table(y) -> bytes:
     raw, out = _out(32 << len(y))
     _lib.fr_lt_table(_buf(pb), len(y), out)
     return raw.raw
+
+
+# -- witness-table (CSR) kernels ---------------------------------------------
+
+def _i32p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def wt_csr(cols):
+    """CSR for ONE per-column entry-list table: (off_np, pos_np, val_bytes).
+    Cache the result per table — the marshal is the expensive part."""
+    return _sco_csr([cols], len(cols))
+
+
+class WtAccumulator:
+    """A Montgomery-form accumulator of ``n`` Fr values for the witness
+    kernels: several coeff-weighted tables accumulate in, one export out
+    (the RLC batch opener's scalar combiner)."""
+
+    __slots__ = ("n", "_raw", "_ptr")
+
+    def __init__(self, n: int):
+        self.n = n
+        self._raw = ctypes.create_string_buffer(32 * n)
+        self._ptr = ctypes.cast(self._raw,
+                                ctypes.POINTER(ctypes.c_uint64))
+
+    def add_col_scalars(self, csr, eqk, k_size: int, incremental: bool,
+                        coeff: int = 1) -> "WtAccumulator":
+        off, pos, val = csr
+        _lib.wt_col_scalars(
+            _i32p(off), _i32p(pos), _buf(val), self.n,
+            _buf(_fr_vec_bytes(eqk)), k_size,
+            1 if incremental else 0,
+            _buf(int(coeff).to_bytes(32, "little")), self._ptr,
+        )
+        return self
+
+    def add_residue(self, csr, t_size: int, eqw, incremental: bool,
+                    coeff: int = 1) -> "WtAccumulator":
+        off, pos, val = csr
+        _lib.wt_residue(
+            _i32p(off), _i32p(pos), _buf(val), t_size,
+            _buf(_fr_vec_bytes(eqw)), self.n,
+            1 if incremental else 0,
+            _buf(int(coeff).to_bytes(32, "little")), self._ptr,
+        )
+        return self
+
+    def export(self) -> bytes:
+        raw, out = _out(32 * self.n)
+        _lib.wt_export_std(self._ptr, self.n, out)
+        return raw.raw
+
+
+def wt_mle(csr, t_size: int, eqk, k_size: int, eqj, incremental: bool):
+    """~table(point) from the eq tables of the point's k/j parts."""
+    from ..field.fr import Fr
+
+    off, pos, val = csr
+    raw, out = _out(32)
+    _lib.wt_mle(_i32p(off), _i32p(pos), _buf(val), t_size,
+                _buf(_fr_vec_bytes(eqk)), k_size, _buf(_fr_vec_bytes(eqj)),
+                1 if incremental else 0, out)
+    return Fr(int.from_bytes(raw.raw, "little"))
 
 
 def fr_ml_open(values, point):

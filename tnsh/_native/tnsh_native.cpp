@@ -2002,6 +2002,150 @@ void sco_free(int id) {
     }
 }
 
+// ---- witness-table kernels (CSR column tables) -----------------------------
+// One CSR table: off[t_size+1], pos[nnz], val[nnz*32 B standard form].
+// inc_mode: 0 = column-sparse (entries ARE column j), 1 = column-incremental
+// (entries are deltas applied AFTER column j; column 0 starts zero).
+// These replace the per-prove Python loops building commit scalars,
+// k-residues, and MLE evaluations for the sound provers.
+
+static void wt_load_mont(std::vector<u64> &out, const uint8_t *in, size_t n) {
+    out.resize(4 * n);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n >= 16384)
+#endif
+    for (long long i = 0; i < (long long)n; i++) {
+        u64 raw[4];
+        bytes_to_limbs(raw, in + 32 * i);
+        to_mont(&out[4 * i], raw, FR);
+    }
+}
+
+extern "C" {
+
+// acc: 4*t_size u64 Montgomery accumulator (caller-zeroed; export with
+// wt_export_std) — acc[j] += coeff * s_j where s_j = <column_j, eqk>
+// (inc_mode 0) or the prefix state before column j's deltas (inc_mode 1).
+// Accumulation lets the RLC batch opener fold several tables into ONE
+// scalar vector without Python bigint work.
+void wt_col_scalars(const int32_t *off, const int32_t *pos,
+                    const uint8_t *valb, long long t_size,
+                    const uint8_t *eqkb, long long k_size, int inc_mode,
+                    const uint8_t *coeffb, u64 *acc) {
+    std::vector<u64> eqk;
+    wt_load_mont(eqk, eqkb, (size_t)k_size);
+    u64 coeff[4], raw[4];
+    bytes_to_limbs(raw, coeffb);
+    to_mont(coeff, raw, FR);
+    u64 cur[4] = {0, 0, 0, 0};
+    for (long long j = 0; j < t_size; j++) {
+        u64 sj[4];
+        if (inc_mode)
+            memcpy(sj, cur, 32);  // column value = state BEFORE j's deltas
+        else
+            memset(sj, 0, 32);
+        for (int32_t e = off[j]; e < off[j + 1]; e++) {
+            u64 v[4], w[4];
+            bytes_to_limbs(raw, valb + 32 * (size_t)e);
+            to_mont(v, raw, FR);
+            mmul(w, v, &eqk[4 * (size_t)pos[e]], FR);
+            if (inc_mode)
+                add_mod(cur, cur, w, FR);
+            else
+                add_mod(sj, sj, w, FR);
+        }
+        u64 here[4];
+        mmul(here, sj, coeff, FR);
+        add_mod(&acc[4 * j], &acc[4 * j], here, FR);
+    }
+}
+
+// acc: 4*k_size u64 Montgomery accumulator — acc[k] += coeff * g[k] with
+// g[k] = sum_j w_j column_j(k); w_j = eqw[j] (inc_mode 0) or the STRICT
+// SUFFIX sum of eqw past j (inc_mode 1: a delta at cycle j is visible
+// from cycle j+1 on).
+void wt_residue(const int32_t *off, const int32_t *pos, const uint8_t *valb,
+                long long t_size, const uint8_t *eqwb, long long k_size,
+                int inc_mode, const uint8_t *coeffb, u64 *acc) {
+    std::vector<u64> eqw;
+    wt_load_mont(eqw, eqwb, (size_t)t_size);
+    u64 coeff[4], raw[4];
+    bytes_to_limbs(raw, coeffb);
+    to_mont(coeff, raw, FR);
+    std::vector<u64> w(4 * t_size);
+    if (inc_mode) {
+        u64 suf[4] = {0, 0, 0, 0};
+        for (long long j = t_size - 1; j >= 0; j--) {
+            memcpy(&w[4 * j], suf, 32);
+            add_mod(suf, suf, &eqw[4 * j], FR);
+        }
+    } else {
+        w.assign(eqw.begin(), eqw.end());
+    }
+    for (long long j = 0; j < t_size; j++) {
+        u64 *wj = &w[4 * j];
+        if (is_zero4(wj)) continue;
+        u64 wc[4];
+        mmul(wc, wj, coeff, FR);
+        for (int32_t e = off[j]; e < off[j + 1]; e++) {
+            u64 v[4], m[4];
+            bytes_to_limbs(raw, valb + 32 * (size_t)e);
+            to_mont(v, raw, FR);
+            mmul(m, v, wc, FR);
+            u64 *slot = &acc[4 * (size_t)pos[e]];
+            add_mod(slot, slot, m, FR);
+        }
+    }
+}
+
+// Export a Montgomery u64 accumulator as n * 32 B standard-form words.
+void wt_export_std(const u64 *acc, long long n, uint8_t *out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n >= 16384)
+#endif
+    for (long long i = 0; i < n; i++) {
+        u64 s[4];
+        from_mont(s, &acc[4 * i], FR);
+        limbs_to_bytes(out + 32 * i, s);
+    }
+}
+
+// out: 32 B — ~table(point) = sum_j eqj[j] * <column_j, eqk>.
+void wt_mle(const int32_t *off, const int32_t *pos, const uint8_t *valb,
+            long long t_size, const uint8_t *eqkb, long long k_size,
+            const uint8_t *eqjb, int inc_mode, uint8_t *out) {
+    std::vector<u64> eqk, eqj;
+    wt_load_mont(eqk, eqkb, (size_t)k_size);
+    wt_load_mont(eqj, eqjb, (size_t)t_size);
+    u64 acc[4] = {0, 0, 0, 0};
+    u64 cur[4] = {0, 0, 0, 0};
+    for (long long j = 0; j < t_size; j++) {
+        if (inc_mode) {
+            u64 m[4];
+            mmul(m, &eqj[4 * j], cur, FR);
+            add_mod(acc, acc, m, FR);
+        }
+        for (int32_t e = off[j]; e < off[j + 1]; e++) {
+            u64 raw[4], v[4], w[4];
+            bytes_to_limbs(raw, valb + 32 * (size_t)e);
+            to_mont(v, raw, FR);
+            mmul(w, v, &eqk[4 * (size_t)pos[e]], FR);
+            if (inc_mode) {
+                add_mod(cur, cur, w, FR);
+            } else {
+                u64 m[4];
+                mmul(m, w, &eqj[4 * j], FR);
+                add_mod(acc, acc, m, FR);
+            }
+        }
+    }
+    u64 s[4];
+    from_mont(s, acc, FR);
+    limbs_to_bytes(out, s);
+}
+
+}  // extern "C"
+
 // ---- eq / lt evaluation tables ---------------------------------------------
 // Same values as tnsh/poly/eq.py (exact field arithmetic, little-endian bit
 // order); built in Montgomery form with one from_mont pass at the end.  The

@@ -160,9 +160,19 @@ class SparseCubeTable:
         self.cols: List[List[Tuple[int, int]]] = [
             [] for _ in range(1 << log_t)
         ]
+        self._csr = None
 
     def set(self, j: int, k: int, value: int) -> None:
         self.cols[j].append((k, int(value) % _P))
+        self._csr = None
+
+    def csr(self):
+        """Native CSR view, marshalled once and cached until mutation."""
+        if self._csr is None:
+            from .. import _native
+
+            self._csr = _native.wt_csr(self.cols)
+        return self._csr
 
     def to_dense(self) -> List[int]:
         k_size = 1 << self.log_k
@@ -185,9 +195,19 @@ class IncrementalCubeTable:
         self.updates: List[List[Tuple[int, int]]] = [
             [] for _ in range(1 << log_t)
         ]
+        self._csr = None
 
     def add_update(self, j: int, k: int, delta: int) -> None:
         self.updates[j].append((k, int(delta) % _P))
+        self._csr = None
+
+    def csr(self):
+        """Native CSR view, marshalled once and cached until mutation."""
+        if self._csr is None:
+            from .. import _native
+
+            self._csr = _native.wt_csr(self.updates)
+        return self._csr
 
     def to_dense(self) -> List[int]:
         k_size = 1 << self.log_k
@@ -224,8 +244,25 @@ def _msm_over(base: object, scalars) -> G1:
     return msm(base, data)
 
 
+def _wt_native():
+    """The native module when the witness-table CSR kernels are usable."""
+    import os
+
+    if os.environ.get("TNSH_NO_NATIVE"):
+        return None
+    from .. import _native
+
+    return _native if _native.available else None
+
+
 def commit_sparse(params: CubeParams, table: SparseCubeTable
                   ) -> KZGCommitmentValue:
+    native = _wt_native()
+    if native is not None:
+        s = native.WtAccumulator(1 << params.log_t).add_col_scalars(
+            table.csr(), params.eqk_tables[0], 1 << params.log_k, False
+        ).export()
+        return KZGCommitmentValue(_msm_over(params.j_bases[0], s))
     eqk = params.eqk_tables[0]
     scalars = [
         sum(v * eqk[k] for k, v in col) % _P for col in table.cols
@@ -235,6 +272,12 @@ def commit_sparse(params: CubeParams, table: SparseCubeTable
 
 def commit_incremental(params: CubeParams, table: IncrementalCubeTable
                        ) -> KZGCommitmentValue:
+    native = _wt_native()
+    if native is not None:
+        s = native.WtAccumulator(1 << params.log_t).add_col_scalars(
+            table.csr(), params.eqk_tables[0], 1 << params.log_k, True
+        ).export()
+        return KZGCommitmentValue(_msm_over(params.j_bases[0], s))
     eqk = params.eqk_tables[0]
     scalars: List[int] = []
     cur = 0
@@ -292,7 +335,7 @@ def _open_j_then_k(params: CubeParams, s: List[int], make_g,
             qj.append(_msm_over(params.j_bases[i + 1], diff))
             cur = [(cur[2 * x] + r * diff[x]) % _P for x in range(half)]
 
-    g = make_g(list(eq_table_ints(rj)))
+    g = make_g(eq_table_ints(rj))
     if native is not None and log_k > 0:
         gval, k_levels = native.fr_ml_open(g, [Fr(x) for x in rk])
         qk = [
@@ -311,18 +354,7 @@ def _open_j_then_k(params: CubeParams, s: List[int], make_g,
 
 def open_sparse(params: CubeParams, table: SparseCubeTable,
                 point: Sequence[Fr]) -> Tuple[Fr, MLOpeningProof]:
-    eqk = params.eqk_tables[0]
-    s = [sum(v * eqk[k] for k, v in col) % _P for col in table.cols]
-
-    def make_g(eqw: List[int]) -> List[int]:
-        g = [0] * (1 << params.log_k)
-        for j, col in enumerate(table.cols):
-            w = eqw[j]
-            for k, v in col:
-                g[k] = (g[k] + w * v) % _P
-        return g
-
-    return _open_j_then_k(params, s, make_g, point)
+    return open_combined(params, [(1, table)], [], point)
 
 
 def open_incremental(params: CubeParams, table: IncrementalCubeTable,
@@ -331,38 +363,42 @@ def open_incremental(params: CubeParams, table: IncrementalCubeTable,
     of weighted deltas (one O(T) scan), and the k-residue weights each delta
     by the STRICT SUFFIX sum of eq(j, r_j) — cell k holds delta d from the
     cycle after it was written onward."""
-    eqk = params.eqk_tables[0]
-    s: List[int] = []
-    cur = 0
-    for ups in table.updates:
-        s.append(cur)
-        for k, d in ups:
-            cur = (cur + d * eqk[k]) % _P
-
-    def make_g(eqw: List[int]) -> List[int]:
-        t_size = 1 << params.log_t
-        suffix = [0] * (t_size + 1)
-        for j in range(t_size - 1, -1, -1):
-            suffix[j] = (suffix[j + 1] + eqw[j]) % _P
-        g = [0] * (1 << params.log_k)
-        for j, ups in enumerate(table.updates):
-            w = suffix[j + 1]
-            for k, d in ups:
-                g[k] = (g[k] + w * d) % _P
-        return g
-
-    return _open_j_then_k(params, s, make_g, point)
+    return open_combined(params, [], [(1, table)], point)
 
 
 def sparse_mle_eval(table: SparseCubeTable, point: Sequence[Fr]) -> Fr:
     """~table(point) for a column-sparse cube table, O(nnz + T + K)."""
-    eqk = list(eq_table_ints([int(p) for p in point[:table.log_k]]))
-    eqj = list(eq_table_ints([int(p) for p in point[table.log_k:]]))
+    native = _wt_native()
+    eqk = eq_table_ints([int(p) for p in point[:table.log_k]])
+    eqj = eq_table_ints([int(p) for p in point[table.log_k:]])
+    if native is not None:
+        return native.wt_mle(table.csr(), 1 << table.log_t, eqk,
+                             1 << table.log_k, eqj, False)
+    eqk, eqj = list(eqk), list(eqj)
     acc = 0
     for j, col in enumerate(table.cols):
         if col:
             acc += eqj[j] * sum(v * eqk[k] for k, v in col)
     return Fr(acc % _P)
+
+
+def incremental_mle_eval(table: IncrementalCubeTable,
+                         point: Sequence[Fr]) -> Fr:
+    """~table(point) for a column-incremental cube table, O(T log K)."""
+    native = _wt_native()
+    eqk = eq_table_ints([int(p) for p in point[:table.log_k]])
+    eqj = eq_table_ints([int(p) for p in point[table.log_k:]])
+    if native is not None:
+        return native.wt_mle(table.csr(), 1 << table.log_t, eqk,
+                             1 << table.log_k, eqj, True)
+    eqk, eqj = list(eqk), list(eqj)
+    cur = 0
+    acc = 0
+    for j, ups in enumerate(table.updates):
+        acc = (acc + eqj[j] * cur) % _P
+        for k, d in ups:
+            cur = (cur + d * eqk[k]) % _P
+    return Fr(acc)
 
 
 def open_combined(params: CubeParams,
@@ -380,6 +416,26 @@ def open_combined(params: CubeParams,
     RLC of the dense tables (locked by tests/test_sound_sparse.py)."""
     eqk = params.eqk_tables[0]
     t_size = 1 << params.log_t
+    k_size = 1 << params.log_k
+    native = _wt_native()
+    if native is not None:
+        acc = native.WtAccumulator(t_size)
+        for c, tab in sparse_parts:
+            acc.add_col_scalars(tab.csr(), eqk, k_size, False, int(c) % _P)
+        for d, tab in inc_parts:
+            acc.add_col_scalars(tab.csr(), eqk, k_size, True, int(d) % _P)
+        s = acc.export()
+
+        def make_g(eqw):
+            ga = native.WtAccumulator(k_size)
+            for c, tab in sparse_parts:
+                ga.add_residue(tab.csr(), t_size, eqw, False, int(c) % _P)
+            for d, tab in inc_parts:
+                ga.add_residue(tab.csr(), t_size, eqw, True, int(d) % _P)
+            return ga.export()
+
+        return _open_j_then_k(params, s, make_g, point)
+
     s = [0] * t_size
     for c, tab in sparse_parts:
         c = int(c) % _P
@@ -394,7 +450,8 @@ def open_combined(params: CubeParams,
             for k, dv in ups:
                 cur = (cur + dv * eqk[k]) % _P
 
-    def make_g(eqw: List[int]) -> List[int]:
+    def make_g(eqw) -> List[int]:
+        eqw = list(eqw)
         g = [0] * (1 << params.log_k)
         for c, tab in sparse_parts:
             c = int(c) % _P
@@ -434,7 +491,8 @@ def open_dense_cube(params: CubeParams, dense: Sequence,
         for j in range(1 << log_t)
     ]
 
-    def make_g(eqw: List[int]) -> List[int]:
+    def make_g(eqw) -> List[int]:
+        eqw = list(eqw)
         return [
             sum(eqw[j] * vals[j * k_size + k] for j in range(1 << log_t)) % _P
             for k in range(k_size)

@@ -102,15 +102,9 @@ _SPARSE_MIN_VARS = 14
 def _incremental_mle_eval(table: IncrementalCubeTable, point: Sequence[Fr],
                           log_k: int) -> Fr:
     """~table(point) for a column-incremental cube table, O(T log K)."""
-    eqk = list(eq_table_ints([int(p) for p in point[:log_k]]))
-    eqj = list(eq_table_ints([int(p) for p in point[log_k:]]))
-    cur = 0
-    acc = 0
-    for j, ups in enumerate(table.updates):
-        acc = (acc + eqj[j] * cur) % _P
-        for k, d in ups:
-            cur = (cur + d * eqk[k]) % _P
-    return Fr(acc)
+    from ..commit.mkzg_sparse import incremental_mle_eval
+
+    return incremental_mle_eval(table, point)
 
 
 @dataclass
