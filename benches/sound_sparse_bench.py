@@ -17,7 +17,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-k", type=int, default=10)
     ap.add_argument("--log-t", type=int, default=16)
+    ap.add_argument("--shout", action="store_true",
+                    help="benchmark ShoutSound instead of TwistSound")
     args = ap.parse_args()
+    if args.shout:
+        return shout_main(args)
 
     from tnsh.core.params import setup_params
     from tnsh.field.fr import Fr
@@ -54,6 +58,37 @@ def main():
 
     t0 = time.perf_counter()
     ok = TwistSound.verify(proof, vp)
+    print(f"verify: {time.perf_counter()-t0:.1f}s valid={ok}", flush=True)
+    assert ok
+
+
+def shout_main(args):
+    from tnsh.core.params import setup_params
+    from tnsh.field.fr import Fr
+    from tnsh.protocols.shout import LookupTable
+    from tnsh.protocols.sound import ShoutSound, prewarm_sound
+
+    K, T = 1 << args.log_k, 1 << args.log_t
+    t0 = time.perf_counter()
+    pp, vp = setup_params(max(args.log_t - 2, 2))
+    prewarm_sound(args.log_k, args.log_t)
+    print(f"setup (incl. SRS prewarm): {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    random.seed(1)
+    table = LookupTable([Fr(i * i + 1) for i in range(K)])
+    for _ in range(T):
+        table.lookup(random.randrange(K))
+
+    t0 = time.perf_counter()
+    proof = ShoutSound.prove(table, pp)
+    prove_s = time.perf_counter() - t0
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(f"ShoutSound sparse prove K=2^{args.log_k} T=2^{args.log_t}: "
+          f"{prove_s:.1f}s (peak RSS {rss:.2f} GB)", flush=True)
+
+    t0 = time.perf_counter()
+    ok = ShoutSound.verify(proof, table.entries, vp)
     print(f"verify: {time.perf_counter()-t0:.1f}s valid={ok}", flush=True)
     assert ok
 

@@ -422,7 +422,11 @@ def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
                 return accX, accY, accZ, hz + jnp.sum(same.astype(jnp.int32))
 
             # execute only this chunk's needed steps (traced bound lowers
-            # to a while loop; r_c stays the static schedule capacity)
+            # to a while loop; r_c stays the static schedule capacity).
+            # ADVICE round-2 item 3 considered a static-bound fallback for
+            # uniform occupancy; with r_c now pow2-quantized (compile-shape
+            # stability) the average skip fraction is larger, so the
+            # dynamic bound is kept unconditionally.
             rc_g = jnp.minimum(rc_per_chunk[g], r_c)
             return lax.fori_loop(0, rc_g, step, (accX, accY, accZ, hazards))
 
