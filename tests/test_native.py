@@ -150,3 +150,119 @@ class TestProtocolEquivalence:
             for a, b in zip(proof_native.opening_proofs, proof_py.opening_proofs)
         )
         assert twist.verify(proof_native, vp)
+
+
+def test_eq_lt_table_kernels_match_python():
+    """Native fr_eq_table / fr_lt_table == the pure-Python builders."""
+    import random
+
+    from tnsh import _native
+    from tnsh.field.fr import MODULUS, Fr, FrTable
+
+    if not _native.available:
+        import pytest
+
+        pytest.skip("native layer unavailable")
+    random.seed(31)
+    n = 12
+    pts = [random.randrange(MODULUS) for _ in range(n)]
+    # Python construction (force by calling the small-n code path shape)
+    table = [1]
+    for t in pts:
+        nt = (1 - t) % MODULUS
+        table = [v * nt % MODULUS for v in table] + [
+            v * t % MODULUS for v in table
+        ]
+    nat = FrTable(_native.fr_eq_table(pts))
+    assert list(nat) == table
+    # lt via the closed form on boolean points
+    from tnsh.poly.eq import lt_eval
+
+    lt_nat = FrTable(_native.fr_lt_table(pts[:4]))
+    for j in range(16):
+        jb = [Fr((j >> i) & 1) for i in range(4)]
+        assert lt_nat[j] == int(lt_eval(jb, [Fr(p) for p in pts[:4]]))
+
+
+def test_witness_table_kernels_match_python():
+    """wt_col_scalars / wt_residue / wt_mle == the Python fallbacks on
+    random sparse + incremental tables with RLC coefficients."""
+    import random
+
+    from tnsh import _native
+    from tnsh.commit.mkzg_sparse import (
+        IncrementalCubeTable,
+        SparseCubeTable,
+    )
+    from tnsh.field.fr import MODULUS
+
+    if not _native.available:
+        import pytest
+
+        pytest.skip("native layer unavailable")
+    random.seed(37)
+    log_k, log_t = 4, 6
+    k_size, t_size = 1 << log_k, 1 << log_t
+    sp = SparseCubeTable(log_k, log_t)
+    inc = IncrementalCubeTable(log_k, log_t)
+    for j in range(t_size):
+        for _ in range(random.randrange(3)):
+            sp.set(j, random.randrange(k_size), random.randrange(MODULUS))
+        if j % 2:
+            inc.add_update(j, random.randrange(k_size),
+                           random.randrange(MODULUS))
+    eqk = [random.randrange(MODULUS) for _ in range(k_size)]
+    eqw = [random.randrange(MODULUS) for _ in range(t_size)]
+    c1, c2 = 7, 1234567
+
+    # scalars: c1 * sparse + c2 * incremental prefix
+    want_s = [0] * t_size
+    for j, col in enumerate(sp.cols):
+        want_s[j] = c1 * sum(v * eqk[k] for k, v in col) % MODULUS
+    cur = 0
+    for j, ups in enumerate(inc.updates):
+        want_s[j] = (want_s[j] + c2 * cur) % MODULUS
+        for k, d in ups:
+            cur = (cur + d * eqk[k]) % MODULUS
+    acc = _native.WtAccumulator(t_size)
+    acc.add_col_scalars(sp.csr(), eqk, k_size, False, c1)
+    acc.add_col_scalars(inc.csr(), eqk, k_size, True, c2)
+    got = acc.export()
+    got_s = [int.from_bytes(got[32 * i:32 * i + 32], "little")
+             for i in range(t_size)]
+    assert got_s == want_s
+
+    # residues: c1 * sparse(eqw) + c2 * incremental(suffix eqw)
+    want_g = [0] * k_size
+    for j, col in enumerate(sp.cols):
+        for k, v in col:
+            want_g[k] = (want_g[k] + c1 * eqw[j] * v) % MODULUS
+    suffix = [0] * (t_size + 1)
+    for j in range(t_size - 1, -1, -1):
+        suffix[j] = (suffix[j + 1] + eqw[j]) % MODULUS
+    for j, ups in enumerate(inc.updates):
+        for k, d in ups:
+            want_g[k] = (want_g[k] + c2 * suffix[j + 1] * d) % MODULUS
+    ga = _native.WtAccumulator(k_size)
+    ga.add_residue(sp.csr(), t_size, eqw, False, c1)
+    ga.add_residue(inc.csr(), t_size, eqw, True, c2)
+    got = ga.export()
+    got_g = [int.from_bytes(got[32 * i:32 * i + 32], "little")
+             for i in range(k_size)]
+    assert got_g == want_g
+
+    # mle: against to_dense folding
+    from tnsh.protocols.sound import _mle_eval
+    from tnsh.field.fr import Fr
+
+    point = [Fr(100 + 3 * i) for i in range(log_k + log_t)]
+    eqk_p = [int(v) for v in __import__(
+        "tnsh.commit.mkzg_sparse", fromlist=["eq_table_ints"]
+    ).eq_table_ints([int(p) for p in point[:log_k]])]
+    eqj_p = [int(v) for v in __import__(
+        "tnsh.commit.mkzg_sparse", fromlist=["eq_table_ints"]
+    ).eq_table_ints([int(p) for p in point[log_k:]])]
+    got = _native.wt_mle(sp.csr(), t_size, eqk_p, k_size, eqj_p, False)
+    assert int(got) == int(_mle_eval(sp.to_dense(), point))
+    got = _native.wt_mle(inc.csr(), t_size, eqk_p, k_size, eqj_p, True)
+    assert int(got) == int(_mle_eval(inc.to_dense(), point))
