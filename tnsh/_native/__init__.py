@@ -630,8 +630,34 @@ def _sco_csr(tabs, t_size: int):
     return off_np, pos_np, _fr_vec_bytes(vals)
 
 
+def _sco_csr_concat(csrs):
+    """Combine per-table CSRs (from ``wt_csr``, cached on the tables) into
+    the multi-table layout ``sco_create`` expects — numpy concat only, no
+    per-entry Python work."""
+    import numpy as _np
+
+    offs = []
+    poss = []
+    vals = []
+    base = 0
+    for off, pos, val in csrs:
+        nnz = len(val) // 32
+        offs.append(off.astype(_np.int64) + base)
+        if nnz:
+            poss.append(pos[:nnz])
+        vals.append(val)
+        base += nnz
+    if not offs:
+        return (_np.zeros(1, _np.int32), _np.zeros(1, _np.int32), b"")
+    off_np = _np.concatenate(offs).astype(_np.int32)
+    pos_np = (_np.concatenate(poss).astype(_np.int32)
+              if poss else _np.zeros(1, _np.int32))
+    return off_np, pos_np, b"".join(vals)
+
+
 def sco_create(log_k: int, log_t: int, eqk_tables, eqj_tables, sparse_tabs,
-               inc_tabs, coeffs, term_spec) -> int:
+               inc_tabs, coeffs, term_spec,
+               sparse_csrs=None, inc_csrs=None) -> int:
     """Create a native sparse-cube oracle handle.
 
     ``eqk_tables``: list of 2^log_k-int lists; ``eqj_tables``: list of
@@ -639,12 +665,19 @@ def sco_create(log_k: int, log_t: int, eqk_tables, eqj_tables, sparse_tabs,
     ``[(pos, value), ...]`` lists (2^log_t columns each); ``coeffs``: per
     term an int; ``term_spec``: per term ``(sp_idx, sp_power, eqj_idx list,
     eqk_idx list, inc_idx list)``.  Per-column term weights are computed
-    natively."""
+    natively.  ``sparse_csrs``/``inc_csrs``: optional per-table cached CSRs
+    (``wt_csr``) matching the tab lists — skips the per-entry re-marshal."""
     t_size = 1 << log_t
     eqk_blob = b"".join(_fr_vec_bytes(t) for t in eqk_tables)
     eqj_blob = b"".join(_fr_vec_bytes(t) for t in eqj_tables)
-    sp_off, sp_pos, sp_val = _sco_csr(sparse_tabs, t_size)
-    inc_off, inc_pos, inc_val = _sco_csr(inc_tabs, t_size)
+    if sparse_csrs is not None:
+        sp_off, sp_pos, sp_val = _sco_csr_concat(sparse_csrs)
+    else:
+        sp_off, sp_pos, sp_val = _sco_csr(sparse_tabs, t_size)
+    if inc_csrs is not None:
+        inc_off, inc_pos, inc_val = _sco_csr_concat(inc_csrs)
+    else:
+        inc_off, inc_pos, inc_val = _sco_csr(inc_tabs, t_size)
     c_blob = b"".join(int(c).to_bytes(32, "little") for c in coeffs)
     spec: List[int] = []
     for sp_idx, sp_power, eqj_idx, eqk_idx, inc_idx in term_spec:

@@ -70,7 +70,9 @@ class SparseCubeOracle(SumcheckOracle):
         self._eqj: List[List[int]] = []
         self._eqk: List[List[int]] = []
         self._sparse: List[List[List[Tuple[int, int]]]] = []  # cols
+        self._sparse_src: List[object] = []                   # table objects
         self._inc: List[List[List[Tuple[int, int]]]] = []     # updates
+        self._inc_src: List[object] = []
         self._inc_cur: List[List[int]] = []
         seen = {}
         self._terms = []
@@ -111,6 +113,7 @@ class SparseCubeOracle(SumcheckOracle):
                         # the caller's table is never mutated (copying cost
                         # ~800 MB RSS at T=2^20)
                         self._sparse.append(payload.cols)
+                        self._sparse_src.append(payload)
                     if sp_idx is not None and sp_idx != seen[key]:
                         raise SumCheckError(
                             "one distinct colsparse factor per term"
@@ -122,6 +125,7 @@ class SparseCubeOracle(SumcheckOracle):
                     if key not in seen:
                         seen[key] = len(self._inc)
                         self._inc.append(payload.updates)  # see colsparse
+                        self._inc_src.append(payload)
                         self._inc_cur.append([0] * (1 << log_k))
                     inc_idx.append(seen[key])
                 else:
@@ -155,6 +159,8 @@ class SparseCubeOracle(SumcheckOracle):
                         self._inc, [t[6] for t in self._terms],
                         [(-1 if t[3] is None else t[3], t[4], t[1], t[2],
                           t[5]) for t in self._terms],
+                        sparse_csrs=[t.csr() for t in self._sparse_src],
+                        inc_csrs=[t.csr() for t in self._inc_src],
                     )
         if self._nat is None:
             # Python fallback: materialize the per-column weights
