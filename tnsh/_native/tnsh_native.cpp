@@ -1583,9 +1583,13 @@ int sco_create(int log_k, int log_t, const uint8_t *eqk_blob, size_t n_eqk,
         }
     }
     st->eqj.resize(n_eqj);
-    for (size_t t = 0; t < n_eqj; t++) {
-        st->eqj[t].resize(4 * st->t_size);
-        for (size_t i = 0; i < st->t_size; i++) {
+    for (size_t t = 0; t < n_eqj; t++) st->eqj[t].resize(4 * st->t_size);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) collapse(2) \
+    if (n_eqj * st->t_size >= 65536)
+#endif
+    for (long long t = 0; t < (long long)n_eqj; t++) {
+        for (long long i = 0; i < (long long)st->t_size; i++) {
             u64 raw[4];
             bytes_to_limbs(raw, eqj_blob + 32 * (t * st->t_size + i));
             to_mont(&st->eqj[t][4 * i], raw, FR);
@@ -1614,6 +1618,12 @@ int sco_create(int log_k, int log_t, const uint8_t *eqk_blob, size_t n_eqk,
         bytes_to_limbs(raw, coeffs + 32 * t);
         to_mont(st->coeffs[t].data(), raw, FR);
         st->weights[t].resize(4 * st->t_size);
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1) \
+    if (n_terms * st->t_size >= 65536)
+#endif
+    for (long long t = 0; t < (long long)n_terms; t++) {
         for (size_t j = 0; j < st->t_size; j++) {
             u64 *w = &st->weights[t][4 * j];
             memcpy(w, st->coeffs[t].data(), 32);
