@@ -152,3 +152,34 @@ def test_hybrid_srs_msm_matches_native():
         assert kzg._hybrid_srs_msm(srs_id, raw, n) == want
     finally:
         _native.srs_free(srs_id)
+
+
+def test_pallas_insert_engine_matches_native(monkeypatch):
+    """The Pallas VMEM-resident insertion engine (round-3 flagship) must
+    produce the exact group element of the native host MSM.  Runs the
+    kernel in Mosaic interpret mode on the CPU mesh (~80 s) — the same
+    kernel code path the TPU compiles."""
+    _native = pytest.importorskip("tnsh._native")
+    if not _native.available:
+        pytest.skip("native layer unavailable")
+    monkeypatch.setenv("TNSH_PALLAS_INTERPRET", "1")
+    from tnsh.commit.msm_sched import ScheduledMsmContext
+    from tnsh.field.g1 import G1
+
+    random.seed(71)
+    n = 4096
+    sb = b"".join(
+        random.randrange(MODULUS).to_bytes(32, "little") for _ in range(256)
+    ) * (n // 256)
+    srs_id = _native.srs_create_fixed_base(G1.generator(), sb[: 32 * n])
+    try:
+        ctx = ScheduledMsmContext.from_native_srs(srs_id)
+        scal = b"".join(
+            random.randrange(1 << 20).to_bytes(32, "little")
+            for _ in range(n)
+        )
+        got = ctx.msm(scal)
+        want = _native.srs_msm(srs_id, scal)
+        assert got == want
+    finally:
+        _native.srs_free(srs_id)

@@ -468,6 +468,222 @@ def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
     return jax.jit(kernel)
 
 
+@lru_cache(maxsize=64)
+def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
+    """Pallas variant of :func:`_compiled_msm_kernel` — same signature and
+    bit-identical outputs, with the R_c insertion loop running as ONE
+    VMEM-resident kernel per chunk.
+
+    Why: the XLA engine's CIOS bodies (~650 primitives per field mul)
+    exceed the fusion budget, so accumulator/intermediate traffic
+    round-trips HBM and sustains 54M muls/s vs the ~230M a VMEM-resident
+    Pallas chain measures (PERF_NOTES round-3 findings 9).  Here the
+    chunk's point planes (2 x (22, m) int32), the schedule block and the
+    bucket accumulators all live in VMEM across every insertion step;
+    accumulator outputs use the revisited-block pattern so they never
+    leave the chip between chunks.  Gathers lower to Mosaic's
+    lane-aligned ``take_along_axis``: the m-wide chunk table is scanned in
+    ``m/4096`` lane-width blocks with in-bounds selects (a few ops per
+    step vs ~11 CIOS muls — negligible).  Schedule building and the
+    window fold/canonicalize tail stay in XLA (cheap int32 / rare group
+    ops)."""
+    jax, jnp, lax = _get_jax()
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .msm_jax import _padd, fq
+    from ..field.fr_jax import make_field_ops
+    from ..field.limbs import int_to_limbs
+
+    lanes = TOTAL_LANES
+    if m % lanes:
+        raise ValueError("pallas MSM needs chunk size divisible by lanes")
+    blocks = m // lanes
+    one_np = np.asarray(FQ_SPEC.one_mont_limbs(), dtype=np.int32)[:, None]
+    ids_np = np.arange(1, m + 1, dtype=np.int32)
+    p_b = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(FQ_SPEC.modulus_limbs(), np.int32)[:, None], (_L, 128)))
+    p2_b = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(int_to_limbs(2 * FQ_SPEC.modulus), np.int32)[:, None],
+        (_L, 128)))
+    one_b = np.ascontiguousarray(np.broadcast_to(one_np, (_L, 128)))
+
+    def insert_kernel(rc_ref, px_ref, py_ref, sched_ref, p_ref, p2_ref,
+                      one_ref, accx_ref, accy_ref, accz_ref, hz_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _init():
+            accx_ref[:] = jnp.zeros((_L, lanes), jnp.int32)
+            accy_ref[:] = jnp.broadcast_to(one_ref[:, :1], (_L, lanes))
+            accz_ref[:] = jnp.zeros((_L, lanes), jnp.int32)
+            hz_ref[0, 0] = 0
+
+        fqk = make_field_ops(
+            FQ_SPEC,
+            consts=(p_ref[:, :1], p2_ref[:, :1], one_ref[:, :1]),
+        )
+        px = px_ref[:]
+        py = py_ref[:]
+
+        def step(s, st):
+            X, Y, Z, hz = st
+            row = sched_ref[s, :]
+            idx = jnp.clip(jnp.abs(row) - 1, 0, m - 1)
+            take = row != 0
+            gx = jnp.zeros((_L, lanes), jnp.int32)
+            gy = jnp.zeros((_L, lanes), jnp.int32)
+            for b in range(blocks):
+                loc = jnp.clip(idx - b * lanes, 0, lanes - 1)
+                li = jnp.broadcast_to(loc[None, :], (_L, lanes))
+                sx = jnp.take_along_axis(
+                    px[:, b * lanes:(b + 1) * lanes], li, axis=1)
+                sy = jnp.take_along_axis(
+                    py[:, b * lanes:(b + 1) * lanes], li, axis=1)
+                inb = (idx >= b * lanes) & (idx < (b + 1) * lanes)
+                gx = jnp.where(inb[None], sx, gx)
+                gy = jnp.where(inb[None], sy, gy)
+            gy = fqk.select(row < 0, fqk.neg(gy), gy)
+            X, Y, Z, same = _padd_mixed_flag(fqk, X, Y, Z, gx, gy, take)
+            return X, Y, Z, hz + jnp.sum(same.astype(jnp.int32))
+
+        rc_g = jnp.minimum(rc_ref[g], r_c)
+        X, Y, Z, hz = lax.fori_loop(
+            0, rc_g, step,
+            (accx_ref[:], accy_ref[:], accz_ref[:], hz_ref[0, 0]),
+        )
+        accx_ref[:] = X
+        accy_ref[:] = Y
+        accz_ref[:] = Z
+        hz_ref[0, 0] = hz
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(chunks,),
+        in_specs=[
+            pl.BlockSpec((_L, m), lambda g, rc: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_L, m), lambda g, rc: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_c, lanes), lambda g, rc: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_L, 128), lambda g, rc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_L, 128), lambda g, rc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_L, 128), lambda g, rc: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_L, lanes), lambda g, rc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_L, lanes), lambda g, rc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_L, lanes), lambda g, rc: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda g, rc: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    insert = pl.pallas_call(
+        insert_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((_L, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((_L, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((_L, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=bool(os.environ.get("TNSH_PALLAS_INTERPRET")),
+    )
+
+    def kernel(xs, ys, digits, base_map, logk_map, fold_masks,
+               canon_src, canon_mask, rc_per_chunk):
+        # -- stage A (XLA): all chunk schedules -----------------------------
+        def build_body(g, sched_all):
+            dch = lax.dynamic_slice(digits, (0, g * m), (w_count, m))
+            dch = dch.astype(jnp.int32)
+
+            def win_body(w, flat_sched):
+                dw = lax.dynamic_index_in_dim(dch, w, 0, keepdims=False)
+                bmap = lax.dynamic_index_in_dim(
+                    base_map, w, 0, keepdims=False)
+                kmap = lax.dynamic_index_in_dim(
+                    logk_map, w, 0, keepdims=False)
+                mag = jnp.abs(dw)
+                bucket = jnp.where(mag > 0, mag - 1, -1)
+                oh = jax.nn.one_hot(bucket, 128, dtype=jnp.float32)
+                cs = jnp.cumsum(oh, axis=0)
+                rank = jnp.take_along_axis(
+                    cs, jnp.clip(bucket, 0, 127)[:, None], axis=1
+                )[:, 0].astype(jnp.int32) - 1
+                lk = jnp.take(kmap, mag)
+                step_idx = rank >> lk
+                lane = jnp.take(bmap, mag) + (rank & ((1 << lk) - 1))
+                flat = jnp.where(
+                    mag > 0, step_idx * lanes + lane, r_c * lanes
+                )
+                vals = jnp.where(dw < 0, -ids_np, ids_np)
+                return flat_sched.at[flat].set(
+                    vals, mode="drop", unique_indices=True
+                )
+
+            flat_sched = lax.fori_loop(
+                0, w_count, win_body, jnp.zeros((r_c * lanes,), jnp.int32)
+            )
+            return lax.dynamic_update_slice(
+                sched_all, flat_sched.reshape(r_c, lanes), (g * r_c, 0)
+            )
+
+        sched_all = lax.fori_loop(
+            0, chunks, build_body,
+            jnp.zeros((chunks * r_c, lanes), jnp.int32),
+        )
+
+        # -- stage B (Pallas): VMEM-resident insertion steps ----------------
+        accX, accY, accZ, hz = insert(
+            rc_per_chunk, xs, ys, sched_all, p_b, p2_b, one_b
+        )
+        hazards = hz[0, 0]
+
+        # -- stage C (XLA): group fold + canonicalize + window sums ---------
+        def fold_body(t, st):
+            X, Y, Z = st
+            sh = 1 << t
+            Xs = jnp.roll(X, -sh, axis=1)
+            Ys = jnp.roll(Y, -sh, axis=1)
+            Zs = jnp.roll(Z, -sh, axis=1)
+            mask = lax.dynamic_index_in_dim(fold_masks, t, 0, keepdims=False)
+            Xn, Yn, Zn = _padd(X, Y, Z, Xs, Ys, Zs)
+            return (
+                fq.select(mask, Xn, X),
+                fq.select(mask, Yn, Y),
+                fq.select(mask, Zn, Z),
+            )
+
+        accX, accY, accZ = lax.fori_loop(
+            0, 12, fold_body, (accX, accY, accZ)
+        )
+        out_lanes = w_count * 128
+        inf_x = jnp.zeros((_L, out_lanes), jnp.int32)
+        inf_y = jnp.zeros((_L, out_lanes), jnp.int32) + one_np
+        inf_z = jnp.zeros((_L, out_lanes), jnp.int32)
+        cX = fq.select(canon_mask, jnp.take(accX, canon_src, axis=1), inf_x)
+        cY = fq.select(canon_mask, jnp.take(accY, canon_src, axis=1), inf_y)
+        cZ = fq.select(canon_mask, jnp.take(accZ, canon_src, axis=1), inf_z)
+        Xw, Yw, Zw = _window_sums(fq, _padd, cX, cY, cZ, w_count)
+        return Xw, Yw, Zw, hazards
+
+    return jax.jit(kernel)
+
+
+def _pallas_msm_enabled() -> bool:
+    flag = os.environ.get("TNSH_PALLAS_MSM", "")
+    if flag == "0":
+        return False
+    return True
+
+
 @lru_cache(maxsize=8)
 def _compiled_to_mont(n_pad: int):
     jax, jnp, _ = _get_jax()
@@ -587,10 +803,14 @@ class ScheduledMsmContext:
         # dynamic bound skips, so quantizing collapses the data-dependent
         # r_exact into ONE compile shape per size bucket
         r_c = max(1 << (plan.r_exact - 1).bit_length(), 16)
-        key = (chunks, m, w_count, r_c)
+        use_pallas = _pallas_msm_enabled() and m % TOTAL_LANES == 0
+        key = (chunks, m, w_count, r_c, use_pallas)
         if only_if_compiled and key not in _COMPILED_SHAPES:
             return None
-        kern = _compiled_msm_kernel(chunks, m, w_count, r_c)
+        kern = (
+            _compiled_msm_kernel_pallas if use_pallas
+            else _compiled_msm_kernel
+        )(chunks, m, w_count, r_c)
         _COMPILED_SHAPES.add(key)
         Xw, Yw, Zw, hz = kern(
             self.xs, self.ys, jnp.asarray(d),

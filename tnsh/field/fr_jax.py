@@ -65,7 +65,7 @@ def _normalize(t: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(out)
 
 
-def make_field_ops(spec: FieldSpec):
+def make_field_ops(spec: FieldSpec, consts=None):
     """Build the jittable op namespace for one field.
 
     Values live in the **2p-domain**: every element is a normalized limb
@@ -74,10 +74,25 @@ def make_field_ops(spec: FieldSpec):
     add/sub reduce once against 2p.  Zero has two representations (0 and p) —
     ``is_zero`` checks both; host-side ``unpack_ints`` canonicalizes with a
     final ``% p``, so nothing downstream observes the relaxation.
+
+    ``consts``: optional ``(p, 2p, one_mont)`` triple of (L, 1) ARRAYS to
+    use instead of the module's numpy constants.  Pallas kernels pass their
+    own VMEM-resident refs here (Mosaic forbids captured array constants),
+    and the ops then allocate temporaries with jnp instead of numpy.  The
+    default (None) keeps the XLA behavior byte-identical: numpy constants
+    avoid device-resident consts being re-fetched during MLIR lowering
+    (slow over the axon tunnel).
     """
-    p_np = np.asarray(spec.modulus_limbs(), dtype=np.int32)[:, None]
-    p2_np = np.asarray(int_to_limbs(2 * spec.modulus), dtype=np.int32)[:, None]
-    one_np = np.asarray(spec.one_mont_limbs(), dtype=np.int32)[:, None]
+    in_kernel = consts is not None
+    if in_kernel:
+        p_np, p2_np, one_np = consts
+        azeros = jnp.zeros
+    else:
+        p_np = np.asarray(spec.modulus_limbs(), dtype=np.int32)[:, None]
+        p2_np = np.asarray(
+            int_to_limbs(2 * spec.modulus), dtype=np.int32)[:, None]
+        one_np = np.asarray(spec.one_mont_limbs(), dtype=np.int32)[:, None]
+        azeros = np.zeros
     n0 = spec.n0
     r2_int = spec.r2_mod_p
 
@@ -114,10 +129,11 @@ def make_field_ops(spec: FieldSpec):
         magnitudes stay < 2^30.  Inputs < 2p -> output < 2p (no reduction).
         """
         batch = tuple(a.shape[1:])
-        # numpy constants: device-resident constants captured in a trace are
-        # re-fetched during MLIR lowering (slow over the axon tunnel).
-        zero_row = np.zeros((1,) + batch, dtype=np.int32)
-        t = np.zeros((L + 1,) + batch, dtype=np.int32)
+        # numpy constants by default: device-resident constants captured in
+        # a trace are re-fetched during MLIR lowering (slow over the axon
+        # tunnel); jnp inside Pallas kernels (no captured consts allowed).
+        zero_row = azeros((1,) + batch, dtype=jnp.int32)
+        t = azeros((L + 1,) + batch, dtype=jnp.int32)
         for i in range(L):
             t = t + jnp.concatenate([a[i][None] * b, zero_row], axis=0)
             m = (t[0] * n0) & MASK
@@ -166,9 +182,11 @@ def make_field_ops(spec: FieldSpec):
         return jnp.where(cond[None, ...], a, b)
 
     def zero(batch_shape):
-        return np.zeros((L,) + tuple(batch_shape), dtype=np.int32)
+        return azeros((L,) + tuple(batch_shape), dtype=jnp.int32)
 
     def one(batch_shape):
+        if in_kernel:
+            return jnp.broadcast_to(one_np, (L,) + tuple(batch_shape))
         return np.ascontiguousarray(
             np.broadcast_to(one_np, (L,) + tuple(batch_shape))
         ).astype(np.int32)
