@@ -341,6 +341,10 @@ def _window_sums(fq, _padd, X, Y, Z, w_count: int):
 #: in this process — the warm gate for ``msm_async(only_if_compiled=True)``.
 _COMPILED_SHAPES: set = set()
 
+#: Insertion steps per Pallas segment call: bounds the XLA-gathered point
+#: stream to SEG * 2 * 360 KB of HBM while amortizing call overhead.
+_SEG = 32
+
 
 @lru_cache(maxsize=64)
 def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
@@ -471,22 +475,26 @@ def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
 @lru_cache(maxsize=64)
 def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
     """Pallas variant of :func:`_compiled_msm_kernel` — same signature and
-    bit-identical outputs, with the R_c insertion loop running as ONE
-    VMEM-resident kernel per chunk.
+    bit-identical outputs, with the insertion steps' field arithmetic
+    running VMEM-resident.
 
     Why: the XLA engine's CIOS bodies (~650 primitives per field mul)
     exceed the fusion budget, so accumulator/intermediate traffic
     round-trips HBM and sustains 54M muls/s vs the ~230M a VMEM-resident
-    Pallas chain measures (PERF_NOTES round-3 findings 9).  Here the
-    chunk's point planes (2 x (22, m) int32), the schedule block and the
-    bucket accumulators all live in VMEM across every insertion step;
-    accumulator outputs use the revisited-block pattern so they never
-    leave the chip between chunks.  Gathers lower to Mosaic's
-    lane-aligned ``take_along_axis``: the m-wide chunk table is scanned in
-    ``m/4096`` lane-width blocks with in-bounds selects (a few ops per
-    step vs ~11 CIOS muls — negligible).  Schedule building and the
-    window fold/canonicalize tail stay in XLA (cheap int32 / rare group
-    ops)."""
+    Pallas chain measures (PERF_NOTES round-3 finding 9).
+
+    Split of labor per segment of ``_SEG`` insertion steps:
+      * XLA gathers the scheduled points into a dense (SEG, 22, lanes)
+        stream — chunk-local ``jnp.take`` is measured fast, and Mosaic's
+        in-kernel gather only reaches one 128-lane vreg, so gathering
+        on-device is off the table;
+      * one pallas_call with grid=(SEG,) consumes the stream: per grid
+        step a (1, 22, lanes) block DMAs in (automatically double-
+        buffered, ~1 us vs ~200 us of compute) while the bucket
+        accumulators persist in VMEM as revisited output blocks —
+        intermediates of the ~11 CIOS muls per step never touch HBM.
+    Schedule building and the window fold/canonicalize tail stay in XLA
+    (cheap int32 / rare group ops)."""
     jax, jnp, lax = _get_jax()
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -496,9 +504,7 @@ def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
     from ..field.limbs import int_to_limbs
 
     lanes = TOTAL_LANES
-    if m % lanes:
-        raise ValueError("pallas MSM needs chunk size divisible by lanes")
-    blocks = m // lanes
+    seg = min(_SEG, r_c)
     one_np = np.asarray(FQ_SPEC.one_mont_limbs(), dtype=np.int32)[:, None]
     ids_np = np.arange(1, m + 1, dtype=np.int32)
     p_b = np.ascontiguousarray(np.broadcast_to(
@@ -508,92 +514,61 @@ def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
         (_L, 128)))
     one_b = np.ascontiguousarray(np.broadcast_to(one_np, (_L, 128)))
 
-    def insert_kernel(rc_ref, px_ref, py_ref, sched_ref, p_ref, p2_ref,
-                      one_ref, accx_ref, accy_ref, accz_ref, hz_ref):
-        g = pl.program_id(0)
+    def seg_kernel(sched_ref, gx_ref, gy_ref, p_ref, p2_ref, one_ref,
+                   inx_ref, iny_ref, inz_ref, inh_ref,
+                   ox_ref, oy_ref, oz_ref, oh_ref):
+        s = pl.program_id(0)
 
-        @pl.when(g == 0)
-        def _init():
-            accx_ref[:] = jnp.zeros((_L, lanes), jnp.int32)
-            accy_ref[:] = jnp.broadcast_to(one_ref[:, :1], (_L, lanes))
-            accz_ref[:] = jnp.zeros((_L, lanes), jnp.int32)
-            hz_ref[0, 0] = 0
+        @pl.when(s == 0)
+        def _seed():
+            ox_ref[:] = inx_ref[:]
+            oy_ref[:] = iny_ref[:]
+            oz_ref[:] = inz_ref[:]
+            oh_ref[0, 0] = inh_ref[0, 0]
 
         fqk = make_field_ops(
             FQ_SPEC,
             consts=(p_ref[:, :1], p2_ref[:, :1], one_ref[:, :1]),
         )
-        px = px_ref[:]
-        py = py_ref[:]
-
-        def step(s, st):
-            X, Y, Z, hz = st
-            row = sched_ref[s, :]
-            idx = jnp.clip(jnp.abs(row) - 1, 0, m - 1)
-            take = row != 0
-            gx = jnp.zeros((_L, lanes), jnp.int32)
-            gy = jnp.zeros((_L, lanes), jnp.int32)
-            for b in range(blocks):
-                loc = jnp.clip(idx - b * lanes, 0, lanes - 1)
-                li = jnp.broadcast_to(loc[None, :], (_L, lanes))
-                sx = jnp.take_along_axis(
-                    px[:, b * lanes:(b + 1) * lanes], li, axis=1)
-                sy = jnp.take_along_axis(
-                    py[:, b * lanes:(b + 1) * lanes], li, axis=1)
-                inb = (idx >= b * lanes) & (idx < (b + 1) * lanes)
-                gx = jnp.where(inb[None], sx, gx)
-                gy = jnp.where(inb[None], sy, gy)
-            gy = fqk.select(row < 0, fqk.neg(gy), gy)
-            X, Y, Z, same = _padd_mixed_flag(fqk, X, Y, Z, gx, gy, take)
-            return X, Y, Z, hz + jnp.sum(same.astype(jnp.int32))
-
-        rc_g = jnp.minimum(rc_ref[g], r_c)
-        X, Y, Z, hz = lax.fori_loop(
-            0, rc_g, step,
-            (accx_ref[:], accy_ref[:], accz_ref[:], hz_ref[0, 0]),
+        row = sched_ref[0, :]
+        take = row != 0
+        gx = gx_ref[0]
+        gy = gy_ref[0]
+        gy = fqk.select(row < 0, fqk.neg(gy), gy)
+        X, Y, Z, same = _padd_mixed_flag(
+            fqk, ox_ref[:], oy_ref[:], oz_ref[:], gx, gy, take
         )
-        accx_ref[:] = X
-        accy_ref[:] = Y
-        accz_ref[:] = Z
-        hz_ref[0, 0] = hz
+        ox_ref[:] = X
+        oy_ref[:] = Y
+        oz_ref[:] = Z
+        oh_ref[0, 0] = oh_ref[0, 0] + jnp.sum(same.astype(jnp.int32))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(chunks,),
+    acc_spec = pl.BlockSpec((_L, lanes), lambda s: (0, 0),
+                            memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((_L, 128), lambda s: (0, 0),
+                              memory_space=pltpu.VMEM)
+    hz_spec = pl.BlockSpec((1, 1), lambda s: (0, 0),
+                           memory_space=pltpu.SMEM)
+    insert_seg = pl.pallas_call(
+        seg_kernel,
+        grid=(seg,),
         in_specs=[
-            pl.BlockSpec((_L, m), lambda g, rc: (0, g),
+            pl.BlockSpec((1, lanes), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_L, m), lambda g, rc: (0, g),
+            pl.BlockSpec((1, _L, lanes), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_c, lanes), lambda g, rc: (g, 0),
+            pl.BlockSpec((1, _L, lanes), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_L, 128), lambda g, rc: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_L, 128), lambda g, rc: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_L, 128), lambda g, rc: (0, 0),
-                         memory_space=pltpu.VMEM),
+            const_spec, const_spec, const_spec,
+            acc_spec, acc_spec, acc_spec, hz_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((_L, lanes), lambda g, rc: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_L, lanes), lambda g, rc: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_L, lanes), lambda g, rc: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda g, rc: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-    )
-    insert = pl.pallas_call(
-        insert_kernel,
+        out_specs=[acc_spec, acc_spec, acc_spec, hz_spec],
         out_shape=[
             jax.ShapeDtypeStruct((_L, lanes), jnp.int32),
             jax.ShapeDtypeStruct((_L, lanes), jnp.int32),
             jax.ShapeDtypeStruct((_L, lanes), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
-        grid_spec=grid_spec,
         interpret=bool(os.environ.get("TNSH_PALLAS_INTERPRET")),
     )
 
@@ -640,10 +615,35 @@ def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
             jnp.zeros((chunks * r_c, lanes), jnp.int32),
         )
 
-        # -- stage B (Pallas): VMEM-resident insertion steps ----------------
-        accX, accY, accZ, hz = insert(
-            rc_per_chunk, xs, ys, sched_all, p_b, p2_b, one_b
+        # -- stage B: XLA gathers stream segments into the Pallas kernel ----
+        def chunk_body(g, carry):
+            accX, accY, accZ, hz = carry
+            px = lax.dynamic_slice(xs, (0, g * m), (_L, m))
+            py = lax.dynamic_slice(ys, (0, g * m), (_L, m))
+            rc_g = jnp.minimum(rc_per_chunk[g], r_c)
+            n_seg = (rc_g + seg - 1) // seg
+
+            def seg_body(t, c2):
+                aX, aY, aZ, h = c2
+                rows = lax.dynamic_slice(
+                    sched_all, (g * r_c + t * seg, 0), (seg, lanes)
+                )
+                idx = jnp.clip(jnp.abs(rows) - 1, 0, m - 1)
+                gxs = jnp.take(px, idx, axis=1).transpose(1, 0, 2)
+                gys = jnp.take(py, idx, axis=1).transpose(1, 0, 2)
+                return insert_seg(rows, gxs, gys, p_b, p2_b, one_b,
+                                  aX, aY, aZ, h)
+
+            return lax.fori_loop(0, n_seg, seg_body,
+                                 (accX, accY, accZ, hz))
+
+        acc0 = (
+            jnp.zeros((_L, lanes), jnp.int32),
+            jnp.zeros((_L, lanes), jnp.int32) + one_np,
+            jnp.zeros((_L, lanes), jnp.int32),
+            jnp.zeros((1, 1), jnp.int32),
         )
+        accX, accY, accZ, hz = lax.fori_loop(0, chunks, chunk_body, acc0)
         hazards = hz[0, 0]
 
         # -- stage C (XLA): group fold + canonicalize + window sums ---------
@@ -678,10 +678,19 @@ def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
 
 
 def _pallas_msm_enabled() -> bool:
+    """Pallas insertion engine: on for real TPU backends (and for CPU
+    tests that opt into Mosaic interpret mode); XLA engine otherwise."""
     flag = os.environ.get("TNSH_PALLAS_MSM", "")
     if flag == "0":
         return False
-    return True
+    if os.environ.get("TNSH_PALLAS_INTERPRET"):
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 @lru_cache(maxsize=8)
@@ -803,7 +812,7 @@ class ScheduledMsmContext:
         # dynamic bound skips, so quantizing collapses the data-dependent
         # r_exact into ONE compile shape per size bucket
         r_c = max(1 << (plan.r_exact - 1).bit_length(), 16)
-        use_pallas = _pallas_msm_enabled() and m % TOTAL_LANES == 0
+        use_pallas = _pallas_msm_enabled()
         key = (chunks, m, w_count, r_c, use_pallas)
         if only_if_compiled and key not in _COMPILED_SHAPES:
             return None
