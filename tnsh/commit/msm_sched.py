@@ -530,7 +530,7 @@ def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
             FQ_SPEC,
             consts=(p_ref[:, :1], p2_ref[:, :1], one_ref[:, :1]),
         )
-        row = sched_ref[0, :]
+        row = sched_ref[0, 0, :]
         take = row != 0
         gx = gx_ref[0]
         gy = gy_ref[0]
@@ -553,7 +553,7 @@ def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
         seg_kernel,
         grid=(seg,),
         in_specs=[
-            pl.BlockSpec((1, lanes), lambda s: (s, 0),
+            pl.BlockSpec((1, 1, lanes), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _L, lanes), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -631,8 +631,8 @@ def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
                 idx = jnp.clip(jnp.abs(rows) - 1, 0, m - 1)
                 gxs = jnp.take(px, idx, axis=1).transpose(1, 0, 2)
                 gys = jnp.take(py, idx, axis=1).transpose(1, 0, 2)
-                return insert_seg(rows, gxs, gys, p_b, p2_b, one_b,
-                                  aX, aY, aZ, h)
+                return insert_seg(rows[:, None, :], gxs, gys,
+                                  p_b, p2_b, one_b, aX, aY, aZ, h)
 
             return lax.fori_loop(0, n_seg, seg_body,
                                  (accX, accY, accZ, hz))
