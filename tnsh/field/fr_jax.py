@@ -151,8 +151,11 @@ def make_field_ops(spec: FieldSpec, consts=None):
         over N lanes — fewer HLO ops, better lane utilization for small N.
         """
         k = len(pairs)
-        if k == 1:
-            return [mont_mul(*pairs[0])]
+        if k == 1 or in_kernel:
+            # inside a Pallas kernel there is no per-op dispatch overhead
+            # to amortize, and Mosaic rejects the lane-concat of values
+            # with mismatched internal layouts
+            return [mont_mul(a, b) for a, b in pairs]
         a_cat = jnp.concatenate([p[0] for p in pairs], axis=-1)
         b_cat = jnp.concatenate([p[1] for p in pairs], axis=-1)
         out = mont_mul(a_cat, b_cat)
