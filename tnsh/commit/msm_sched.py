@@ -473,40 +473,24 @@ def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
 
 
 @lru_cache(maxsize=64)
-def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
-    """Pallas variant of :func:`_compiled_msm_kernel` — same signature and
-    bit-identical outputs, with the insertion steps' field arithmetic
-    running VMEM-resident.
+@lru_cache(maxsize=4)
+def _make_insert_seg(seg: int):
+    """Build the VMEM-resident Pallas insertion kernel for segments of
+    ``seg`` scheduled steps.  Returns ``(insert_seg, p_b, p2_b, one_b)``
+    where the trailing arrays are the (L, 128) broadcast field constants
+    the kernel expects (Pallas forbids captured device arrays).
 
-    Why: the XLA engine's CIOS bodies (~650 primitives per field mul)
-    exceed the fusion budget, so accumulator/intermediate traffic
-    round-trips HBM and sustains 54M muls/s vs the ~230M a VMEM-resident
-    Pallas chain measures (PERF_NOTES round-3 finding 9).
-
-    Split of labor per segment of ``_SEG`` insertion steps:
-      * XLA gathers the scheduled points into a dense (SEG, 22, lanes)
-        stream — chunk-local ``jnp.take`` is measured fast, and Mosaic's
-        in-kernel gather only reaches one 128-lane vreg, so gathering
-        on-device is off the table;
-      * one pallas_call with grid=(SEG,) consumes the stream: per grid
-        step a (1, 22, lanes) block DMAs in (automatically double-
-        buffered, ~1 us vs ~200 us of compute) while the bucket
-        accumulators persist in VMEM as revisited output blocks —
-        intermediates of the ~11 CIOS muls per step never touch HBM.
-    Schedule building and the window fold/canonicalize tail stay in XLA
-    (cheap int32 / rare group ops)."""
+    Shared by the MSM engine and ``tools/exp_pallas_insert.py``'s
+    microbench so the measured kernel is exactly the shipped one."""
     jax, jnp, lax = _get_jax()
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from .msm_jax import _padd, fq
     from ..field.fr_jax import make_field_ops
     from ..field.limbs import int_to_limbs
 
     lanes = TOTAL_LANES
-    seg = min(_SEG, r_c)
     one_np = np.asarray(FQ_SPEC.one_mont_limbs(), dtype=np.int32)[:, None]
-    ids_np = np.arange(1, m + 1, dtype=np.int32)
     p_b = np.ascontiguousarray(np.broadcast_to(
         np.asarray(FQ_SPEC.modulus_limbs(), np.int32)[:, None], (_L, 128)))
     p2_b = np.ascontiguousarray(np.broadcast_to(
@@ -569,8 +553,45 @@ def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
             jax.ShapeDtypeStruct((_L, lanes), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
+        # The CIOS chains' live intermediates need ~19 MB of scoped VMEM
+        # at 4096 lanes — above Mosaic's 16 MB default but well under the
+        # v5e's 128 MB physical VMEM.  Measured OOM: 18.45M requested.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=bool(os.environ.get("TNSH_PALLAS_INTERPRET")),
     )
+    return insert_seg, p_b, p2_b, one_b
+
+
+def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
+    """Pallas variant of :func:`_compiled_msm_kernel` — same signature and
+    bit-identical outputs, with the insertion steps' field arithmetic
+    running VMEM-resident.
+
+    Why: the XLA engine's CIOS bodies (~650 primitives per field mul)
+    exceed the fusion budget, so accumulator/intermediate traffic
+    round-trips HBM and sustains 54M muls/s vs the ~230M a VMEM-resident
+    Pallas chain measures (PERF_NOTES round-3 finding 9).
+
+    Split of labor per segment of ``_SEG`` insertion steps:
+      * XLA gathers the scheduled points into a dense (SEG, 22, lanes)
+        stream — chunk-local ``jnp.take`` is measured fast, and Mosaic's
+        in-kernel gather only reaches one 128-lane vreg, so gathering
+        on-device is off the table;
+      * one pallas_call with grid=(SEG,) consumes the stream: per grid
+        step a (1, 22, lanes) block DMAs in (automatically double-
+        buffered, ~1 us vs ~200 us of compute) while the bucket
+        accumulators persist in VMEM as revisited output blocks —
+        intermediates of the ~11 CIOS muls per step never touch HBM.
+    Schedule building and the window fold/canonicalize tail stay in XLA
+    (cheap int32 / rare group ops)."""
+    jax, jnp, lax = _get_jax()
+    from .msm_jax import _padd, fq
+
+    lanes = TOTAL_LANES
+    seg = min(_SEG, r_c)
+    ids_np = np.arange(1, m + 1, dtype=np.int32)
+    one_np = np.asarray(FQ_SPEC.one_mont_limbs(), dtype=np.int32)[:, None]
+    insert_seg, p_b, p2_b, one_b = _make_insert_seg(seg)
 
     def kernel(xs, ys, digits, base_map, logk_map, fold_masks,
                canon_src, canon_mask, rc_per_chunk):
