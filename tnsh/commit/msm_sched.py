@@ -472,16 +472,21 @@ def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
     return jax.jit(kernel)
 
 
-@lru_cache(maxsize=64)
-@lru_cache(maxsize=4)
 def _make_insert_seg(seg: int):
     """Build the VMEM-resident Pallas insertion kernel for segments of
-    ``seg`` scheduled steps.  Returns ``(insert_seg, p_b, p2_b, one_b)``
-    where the trailing arrays are the (L, 128) broadcast field constants
-    the kernel expects (Pallas forbids captured device arrays).
+    ``seg`` scheduled steps (cached per (seg, interpret-mode)).  Returns
+    ``(insert_seg, p_b, p2_b, one_b)`` where the trailing arrays are the
+    (L, 128) broadcast field constants the kernel expects (Pallas forbids
+    captured device arrays).
 
     Shared by the MSM engine and ``tools/exp_pallas_insert.py``'s
     microbench so the measured kernel is exactly the shipped one."""
+    interpret = bool(os.environ.get("TNSH_PALLAS_INTERPRET"))
+    return _make_insert_seg_cached(seg, interpret)
+
+
+@lru_cache(maxsize=8)
+def _make_insert_seg_cached(seg: int, interpret: bool):
     jax, jnp, lax = _get_jax()
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -557,12 +562,14 @@ def _make_insert_seg(seg: int):
         # at 4096 lanes — above Mosaic's 16 MB default but well under the
         # v5e's 128 MB physical VMEM.  Measured OOM: 18.45M requested.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-        interpret=bool(os.environ.get("TNSH_PALLAS_INTERPRET")),
+        interpret=interpret,
     )
     return insert_seg, p_b, p2_b, one_b
 
 
-def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
+@lru_cache(maxsize=64)
+def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int,
+                                interpret: bool = False):
     """Pallas variant of :func:`_compiled_msm_kernel` — same signature and
     bit-identical outputs, with the insertion steps' field arithmetic
     running VMEM-resident.
@@ -591,7 +598,7 @@ def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int):
     seg = min(_SEG, r_c)
     ids_np = np.arange(1, m + 1, dtype=np.int32)
     one_np = np.asarray(FQ_SPEC.one_mont_limbs(), dtype=np.int32)[:, None]
-    insert_seg, p_b, p2_b, one_b = _make_insert_seg(seg)
+    insert_seg, p_b, p2_b, one_b = _make_insert_seg_cached(seg, interpret)
 
     def kernel(xs, ys, digits, base_map, logk_map, fold_masks,
                canon_src, canon_mask, rc_per_chunk):
@@ -837,10 +844,13 @@ class ScheduledMsmContext:
         key = (chunks, m, w_count, r_c, use_pallas)
         if only_if_compiled and key not in _COMPILED_SHAPES:
             return None
-        kern = (
-            _compiled_msm_kernel_pallas if use_pallas
-            else _compiled_msm_kernel
-        )(chunks, m, w_count, r_c)
+        if use_pallas:
+            kern = _compiled_msm_kernel_pallas(
+                chunks, m, w_count, r_c,
+                bool(os.environ.get("TNSH_PALLAS_INTERPRET")),
+            )
+        else:
+            kern = _compiled_msm_kernel(chunks, m, w_count, r_c)
         _COMPILED_SHAPES.add(key)
         Xw, Yw, Zw, hz = kern(
             self.xs, self.ys, jnp.asarray(d),

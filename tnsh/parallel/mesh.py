@@ -25,7 +25,7 @@ onto a real device mesh:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Sequence, Tuple
 
 import jax
@@ -156,11 +156,17 @@ def psum_field(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 # Sharded sum-check round (product-of-MLEs oracle)
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=32)
 def sharded_round_step(mesh: Mesh, num_factors: int, axis: str = "data"):
     """Build a jitted sharded round step: tables block-sharded on lanes.
 
     Returns fn(tables, r) -> (g_evals (22,4) replicated, folded tables).
     Requires shard_size >= 2 lanes (fold halves each shard).
+
+    All the step builders below are lru_cached on their (hashable) build
+    arguments: a fresh closure per oracle instance would defeat jax.jit's
+    per-function shape cache, re-tracing every shape for every oracle
+    (VERDICT r3 task 2 "reuse shard_map compilations").
     """
     from ..poly import mle_jax
 
@@ -180,6 +186,7 @@ def sharded_round_step(mesh: Mesh, num_factors: int, axis: str = "data"):
     return jax.jit(step)
 
 
+@lru_cache(maxsize=32)
 def sharded_fold_step(mesh: Mesh, num_factors: int, axis: str = "data"):
     """Jitted shard-local fold of all factor tables (no collectives)."""
     from ..poly import mle_jax
@@ -197,6 +204,7 @@ def sharded_fold_step(mesh: Mesh, num_factors: int, axis: str = "data"):
     return jax.jit(step)
 
 
+@lru_cache(maxsize=32)
 def sharded_evals_step(mesh: Mesh, num_factors: int, axis: str = "data"):
     """Jitted sharded round evaluations: local partial sums + exact psum."""
     from ..poly import mle_jax
@@ -281,6 +289,7 @@ class ShardedProductMLEOracle(SumcheckOracle):
         return prod
 
 
+@lru_cache(maxsize=32)
 def sharded_sop_evals_step(mesh: Mesh, num_tables: int, term_idxs,
                            axis: str = "data"):
     """Jitted sharded sum-of-products round evaluations (sound-mode
@@ -314,12 +323,17 @@ class ShardedSumOfProductsOracle(SumcheckOracle):
 
     Same sharding discipline as ``ShardedProductMLEOracle``: tables
     block-sharded on lanes, rounds are shard-local + one psum, folds are
-    communication-free, tail rounds run replicated.  Bit-identical proofs
-    to the host/native ``SumOfProductsOracle`` (virtual-mesh tested).
+    communication-free.  Once shards would drop below 2 lanes — or after
+    ``max_sharded_rounds`` binds (a compile-budget cap: every sharded
+    round is a fresh shard_map shape, ~15-35 s of XLA compile on a cold
+    virtual-CPU mesh) — the tail delegates to the exact host/native
+    ``SumOfProductsOracle`` built from the folded tables: zero further
+    compiles, bit-identical arithmetic.  Proofs are bit-identical to the
+    host oracle's in all configurations (virtual-mesh tested).
     """
 
     def __init__(self, num_vars: int, terms, mesh: Mesh = None,
-                 axis: str = "data"):
+                 axis: str = "data", max_sharded_rounds: int = None):
         import jax.numpy as jnp
 
         from ..field.fr import MODULUS, Fr
@@ -369,33 +383,58 @@ class ShardedSumOfProductsOracle(SumcheckOracle):
         self.tables = tuple(tables)
         self._coeffs = tuple(coeffs)
         self._idxs = tuple(idxs_list)
+        self._max_sharded = max_sharded_rounds
+        self._rounds = 0
+        self._host = None
         self._evals_fn = sharded_sop_evals_step(
             self.mesh, len(tables), self._idxs, axis
         )
         self._fold_fn = sharded_fold_step(self.mesh, len(tables), axis)
 
-    def _sharded_ok(self) -> bool:
+    def _would_shard(self, rounds_done: int) -> bool:
+        if self._max_sharded is not None and rounds_done >= self._max_sharded:
+            return False
         return self.tables[0].shape[1] >= 2 * self.n_devices
 
+    def _build_host(self):
+        """Exact host/native tail oracle from the current folded tables."""
+        from ..iop.sumcheck import SumOfProductsOracle
+
+        lists = [
+            [int(v) for v in self._m.unpack_fr(t)] for t in self.tables
+        ]
+        terms = [
+            (int(self._m.unpack_fr(c)[0]), [lists[i] for i in idxs])
+            for c, idxs in zip(self._coeffs, self._idxs)
+        ]
+        self._host = SumOfProductsOracle(
+            self.num_vars - self._rounds, terms
+        )
+
     def round_evaluations(self, round_index: int):
-        if self._sharded_ok():
+        if self._host is not None:
+            return self._host.round_evaluations(round_index)
+        if self._would_shard(self._rounds):
             evals = self._evals_fn(self.tables, self._coeffs)
-        else:
-            evals = self._m.sum_of_products_round_evals_jit(
-                list(self.tables), list(self._coeffs), self._idxs
-            )
-        return self._m.unpack_fr(evals)
+            return self._m.unpack_fr(evals)
+        self._build_host()
+        return self._host.round_evaluations(round_index)
 
     def bind(self, challenge) -> None:
         import jax.numpy as jnp
 
-        r = jnp.asarray(self._m.pack_fr_scalar(challenge))
-        if self._sharded_ok():
+        if self._host is None and self._would_shard(self._rounds + 1):
+            r = jnp.asarray(self._m.pack_fr_scalar(challenge))
             self.tables = self._fold_fn(self.tables, r)
         else:
-            self.tables = tuple(self._m.fold_jit(t, r) for t in self.tables)
+            if self._host is None:
+                self._build_host()
+            self._host.bind(challenge)
+        self._rounds += 1
 
     def final_evaluation(self, challenges):
+        if self._host is not None:
+            return self._host.final_evaluation(challenges)
         from ..field.fr import MODULUS, Fr
 
         finals = [int(self._m.unpack_fr(t)[0]) for t in self.tables]
@@ -438,7 +477,7 @@ class ShardedSparseCubeOracle(SumcheckOracle):
     """
 
     def __init__(self, log_k: int, log_t: int, terms, mesh: Mesh = None,
-                 axis: str = "data"):
+                 axis: str = "data", max_sharded_rounds: int = None):
         from ..commit.mkzg_sparse import (
             IncrementalCubeTable,
             SparseCubeTable,
@@ -448,6 +487,7 @@ class ShardedSparseCubeOracle(SumcheckOracle):
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = axis
+        self._max_sharded = max_sharded_rounds
         n_dev = int(
             np.prod([self.mesh.shape[a] for a in self.mesh.axis_names])
         )
@@ -572,7 +612,8 @@ class ShardedSparseCubeOracle(SumcheckOracle):
                     raise SumCheckError("shard coeff divergence")
             terms.append((coeff, cat_tabs))
         self._delegate = ShardedSumOfProductsOracle(
-            self.log_t, terms, self.mesh, self.axis
+            self.log_t, terms, self.mesh, self.axis,
+            max_sharded_rounds=self._max_sharded,
         )
 
     def final_evaluation(self, challenges):
@@ -585,6 +626,7 @@ class ShardedSparseCubeOracle(SumcheckOracle):
 # Sharded MSM
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=8)
 def sharded_msm_fn(mesh: Mesh, axis: str = "data"):
     """Build a jitted sharded MSM: points/scalars block-sharded on lanes.
 
@@ -617,6 +659,7 @@ def sharded_msm_fn(mesh: Mesh, axis: str = "data"):
 # Full multi-chip prover step (dryrun + production entry)
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=8)
 def build_sharded_prover_step(mesh: Mesh, num_factors: int = 3, axis: str = "data"):
     """One fused multi-chip Twist prover step:
 
