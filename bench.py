@@ -93,13 +93,22 @@ def main() -> None:
             "'/tmp/tnsh_jax_cache')\n"
             "except Exception: pass\n"
             "from tnsh.field.fr_jax import fr_mont_mul\n"
+            "from tnsh.field import fr_pallas\n"
             "from tnsh.field.limbs import FR_SPEC, pack_ints\n"
             "rng = np.random.default_rng(0)\n"
             "n, iters = 1 << 19, 64\n"
             "vals = [int(v) for v in rng.integers(0, 1 << 62, n)]\n"
             "a = jnp.asarray(pack_ints(vals, FR_SPEC))\n"
-            "chain = jax.jit(lambda x, y: jax.lax.fori_loop(\n"
-            "    0, iters, lambda i, r: fr_mont_mul(r, y), x))\n"
+            "# shipped production kernel: the VMEM-resident Pallas chain\n"
+            "# (tnsh.field.fr_pallas, the engine behind mle_jax's routed\n"
+            "# fold / round-eval entry points); XLA chain for reference\n"
+            "if fr_pallas.enabled():\n"
+            "    chain = lambda x, y: fr_pallas.mont_mul_chain(x, y, iters)\n"
+            "    kind = 'pallas'\n"
+            "else:\n"
+            "    chain = jax.jit(lambda x, y: jax.lax.fori_loop(\n"
+            "        0, iters, lambda i, r: fr_mont_mul(r, y), x))\n"
+            "    kind = 'xla'\n"
             "r = chain(a, a); _ = np.asarray(r[:4, :4])  # compile + fetch\n"
             "best = float('inf')\n"
             "for _i in range(3):\n"
@@ -110,9 +119,10 @@ def main() -> None:
             "    best = min(best, time.perf_counter() - t0)\n"
             "rate = n * iters / best\n"
             "sol = 0.33e12 / 244.0\n"
-            "print(f'{jax.devices()[0].platform} {rate / 1e6:.0f} M muls/s "
-            "({100 * rate / sol:.0f}% of ~{sol / 1e6:.0f}M speed-of-light; "
-            "{iters}x fused fori_loop over 2^19 lanes, 1 dispatch)')\n"
+            "print(f'{jax.devices()[0].platform} {kind} {rate / 1e6:.0f} M "
+            "muls/s ({100 * rate / sol:.0f}% of ~{sol / 1e6:.0f}M "
+            "speed-of-light; {iters}x chained muls over 2^19 lanes, "
+            "1 dispatch)')\n"
         )
         out = subprocess.run(
             [sys.executable, "-c", probe],

@@ -180,6 +180,46 @@ def test_compiled_kernel_constructors_are_cached():
     assert hasattr(msm_sched._make_insert_seg_cached, "cache_info")
 
 
+def test_engine_selection_by_measurement(points, monkeypatch):
+    """VERDICT r3 task 7: engine choice must come from measurement, not a
+    platform check.  A stubbed slow 'pallas' engine must lose the
+    measure_engines race and never be routed to afterwards."""
+    import time
+
+    from tnsh.commit import msm_sched
+
+    calls = {"pallas": 0}
+
+    def slow_pallas(chunks, m, w_count, r_c, interpret=False):
+        real = msm_sched._compiled_msm_kernel(chunks, m, w_count, r_c)
+
+        def wrapper(*args):
+            calls["pallas"] += 1
+            # decisively slower than the XLA engine + per-call host
+            # overhead (~4 s at this size on the 2-core CI host)
+            time.sleep(8.0)
+            return real(*args)
+
+        return wrapper
+
+    monkeypatch.setattr(
+        msm_sched, "_compiled_msm_kernel_pallas", slow_pallas
+    )
+    monkeypatch.setattr(msm_sched, "_pallas_msm_enabled", lambda: True)
+    monkeypatch.setattr(msm_sched, "_ENGINE_CHOICE", {})
+    ctx = ScheduledMsmContext(points)
+    random.seed(83)
+    scal = [Fr(random.randrange(MODULUS)) for _ in range(len(points))]
+    rates = ctx.measure_engines(scal)
+    assert set(rates) == {"xla", "pallas"}
+    assert rates["xla"] > rates["pallas"]
+    assert msm_sched._ENGINE_CHOICE[ctx._last_base_key] == "xla"
+    # subsequent default-engine calls must route to the measured winner
+    before = calls["pallas"]
+    assert ctx.msm(scal) == host_msm(points, scal)
+    assert calls["pallas"] == before, "slow engine was routed to anyway"
+
+
 def test_pallas_insert_engine_matches_native(monkeypatch):
     """The Pallas VMEM-resident insertion engine (round-3 flagship) must
     produce the exact group element of the native host MSM.  Runs the

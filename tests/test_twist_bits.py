@@ -1,0 +1,227 @@
+"""TwistBits: trapdoor-free sound Twist via bit-column commitments.
+
+The capability test (VERDICT r3 task 6): a sound Twist prove/verify that
+works under an external ceremony SRS (taus discarded) sized only for the
+T-point columns — NO cube SRS, NO trapdoor anywhere in the prover.
+"""
+
+import copy
+import random
+
+import pytest
+
+from tnsh.core.params import setup_params
+from tnsh.field.fr import MODULUS, Fr
+from tnsh.protocols.twist import MemoryTrace
+from tnsh.protocols.twist_bits import TwistBits, TwistBitsProof
+
+
+LOG_K, LOG_T = 3, 6
+
+
+@pytest.fixture(scope="module")
+def params():
+    return setup_params(8)
+
+
+@pytest.fixture(scope="module")
+def trace():
+    random.seed(1234)
+    k = 1 << LOG_K
+    tr = MemoryTrace(k)
+    for i in range(1 << LOG_T):
+        if i % 3 == 0 or i == 0:
+            tr.write(random.randrange(k), Fr(random.randrange(1 << 61)))
+        else:
+            tr.read(random.randrange(k))
+    return tr
+
+
+@pytest.fixture(scope="module")
+def proof(trace, params):
+    pp, _ = params
+    return TwistBits.prove(trace, pp)
+
+
+def test_prove_verify_roundtrip(proof, params):
+    _, vp = params
+    assert TwistBits.verify(proof, vp)
+
+
+def test_trapdoor_free_under_ceremony_srs(trace, params):
+    """The headline property: prove + verify with an external ceremony
+    SRS installed for the column arity (log T vars) ONLY — the prover
+    never touches a cube SRS or the factorized (tau-aware) paths, so the
+    deterministic trapdoor is out of the picture entirely."""
+    from tnsh.commit.mkzg import (
+        clear_external_multilinear_srs,
+        generate_multilinear_srs,
+        install_external_multilinear_srs,
+    )
+
+    pp, vp = params
+    p_ext, vk_ext = generate_multilinear_srs(
+        LOG_T, [Fr(31337 + 13 * i) for i in range(LOG_T)],
+        keep_taus=False,
+    )
+    assert p_ext.taus is None
+    install_external_multilinear_srs(p_ext, vk_ext)
+    try:
+        proof = TwistBits.prove(trace, pp)
+        assert TwistBits.verify(proof, vp)
+        # forged claimed value is rejected under the ceremony SRS
+        bad = copy.deepcopy(proof)
+        bad.values_rj[2 * LOG_K + 1] = Fr(
+            int(bad.values_rj[2 * LOG_K + 1]) + 1
+        )
+        assert not TwistBits.verify(bad, vp)
+    finally:
+        clear_external_multilinear_srs()
+
+
+def test_tampered_v_val_rejected(proof, params):
+    _, vp = params
+    bad = copy.deepcopy(proof)
+    bad.v_val = Fr(int(bad.v_val) + 1)
+    assert not TwistBits.verify(bad, vp)
+
+
+def test_tampered_final_evaluation_rejected(proof, params):
+    _, vp = params
+    bad = copy.deepcopy(proof)
+    bad.check_a.final_evaluation = Fr(
+        int(bad.check_a.final_evaluation) + 1
+    )
+    assert not TwistBits.verify(bad, vp)
+    bad = copy.deepcopy(proof)
+    bad.check_b.final_evaluation = Fr(
+        int(bad.check_b.final_evaluation) + 1
+    )
+    assert not TwistBits.verify(bad, vp)
+
+
+def test_tampered_column_value_rejected(proof, params):
+    _, vp = params
+    for idx in (0, LOG_K, 2 * LOG_K, 2 * LOG_K + 3):
+        bad = copy.deepcopy(proof)
+        bad.values_rj[idx] = Fr(int(bad.values_rj[idx]) + 1)
+        assert not TwistBits.verify(bad, vp)
+    bad = copy.deepcopy(proof)
+    bad.values_s[0] = Fr(int(bad.values_s[0]) + 1)
+    assert not TwistBits.verify(bad, vp)
+
+
+def test_tampered_round_polynomial_rejected(proof, params):
+    _, vp = params
+    bad = copy.deepcopy(proof)
+    poly = list(bad.check_a.round_polynomials[0])
+    poly[0] = Fr(int(poly[0]) + 1)
+    bad.check_a.round_polynomials[0] = poly
+    assert not TwistBits.verify(bad, vp)
+
+
+def test_writes_only_and_reads_only_traces(params):
+    pp, vp = params
+    k = 1 << LOG_K
+    tr = MemoryTrace(k)
+    for i in range(8):
+        tr.write(i % k, Fr(100 + i))
+    assert TwistBits.verify(TwistBits.prove(tr, pp), vp)
+    tr = MemoryTrace(k)
+    for i in range(8):
+        tr.read(i % k)  # all reads of never-written memory (zeros)
+    assert TwistBits.verify(TwistBits.prove(tr, pp), vp)
+
+
+class TestShoutBits:
+    @pytest.fixture(scope="class")
+    def table(self):
+        from tnsh.protocols.shout import LookupTable
+
+        random.seed(99)
+        t = LookupTable([Fr(i * i + 3) for i in range(1 << LOG_K)])
+        for _ in range(1 << LOG_T):
+            t.lookup(random.randrange(1 << LOG_K))
+        return t
+
+    @pytest.fixture(scope="class")
+    def sproof(self, table, params):
+        from tnsh.protocols.twist_bits import ShoutBits
+
+        pp, _ = params
+        return ShoutBits.prove(table, pp)
+
+    def test_roundtrip(self, sproof, table, params):
+        from tnsh.protocols.twist_bits import ShoutBits
+
+        _, vp = params
+        assert ShoutBits.verify(sproof, table.entries, vp)
+
+    def test_trapdoor_free(self, table, params):
+        from tnsh.commit.mkzg import (
+            clear_external_multilinear_srs,
+            generate_multilinear_srs,
+            install_external_multilinear_srs,
+        )
+        from tnsh.protocols.twist_bits import ShoutBits
+
+        pp, vp = params
+        p_ext, vk_ext = generate_multilinear_srs(
+            LOG_T, [Fr(424242 + i) for i in range(LOG_T)], keep_taus=False
+        )
+        install_external_multilinear_srs(p_ext, vk_ext)
+        try:
+            proof = ShoutBits.prove(table, pp)
+            assert ShoutBits.verify(proof, table.entries, vp)
+        finally:
+            clear_external_multilinear_srs()
+
+    def test_tampered_value_rejected(self, sproof, table, params):
+        from tnsh.protocols.twist_bits import ShoutBits
+
+        _, vp = params
+        bad = copy.deepcopy(sproof)
+        bad.values_rj[LOG_K] = Fr(int(bad.values_rj[LOG_K]) + 1)
+        assert not ShoutBits.verify(bad, table.entries, vp)
+        bad = copy.deepcopy(sproof)
+        bad.check.final_evaluation = Fr(
+            int(bad.check.final_evaluation) + 1
+        )
+        assert not ShoutBits.verify(bad, table.entries, vp)
+
+    def test_wrong_table_rejected(self, sproof, table, params):
+        from tnsh.protocols.twist_bits import ShoutBits
+
+        _, vp = params
+        wrong = [Fr(int(e) + 1) for e in table.entries]
+        assert not ShoutBits.verify(sproof, wrong, vp)
+
+
+def test_generic_degree_sumcheck_engine():
+    """SumCheckD round-trips an explicit high-degree sum of products."""
+    from tnsh.core.transcript import Transcript
+    from tnsh.iop.sumcheck_d import DenseSopOracleD, SumCheckD
+
+    random.seed(77)
+    n = 5
+    size = 1 << n
+    t1 = [random.randrange(MODULUS) for _ in range(size)]
+    t2 = [random.randrange(2) for _ in range(size)]
+    t3 = [random.randrange(MODULUS) for _ in range(size)]
+    terms = [(3, [t1, t2, t3, t1, t2]), (MODULUS - 5, [t2, t3])]
+    oracle = DenseSopOracleD(n, terms)
+    claim = oracle.hypercube_sum()
+    oracle = DenseSopOracleD(n, terms)  # fresh (bind mutates)
+    seed = bytes([9]) * 32
+    proof, r = SumCheckD(n, claim, oracle.degree).prove_with_challenges(
+        oracle, Transcript(seed)
+    )
+    ok, r_v = SumCheckD(n, claim, proof.degree).verify(
+        proof, Transcript(seed)
+    )
+    assert ok and [int(x) for x in r] == [int(x) for x in r_v]
+    # wrong claim fails
+    ok, _ = SumCheckD(n, claim + Fr(1), proof.degree).verify(
+        proof, Transcript(seed)
+    )
+    assert not ok

@@ -341,6 +341,12 @@ def _window_sums(fq, _padd, X, Y, Z, w_count: int):
 #: in this process — the warm gate for ``msm_async(only_if_compiled=True)``.
 _COMPILED_SHAPES: set = set()
 
+#: (chunks, m, w_count, r_c) -> "pallas" | "xla": the engine that measured
+#: faster end-to-end for this shape (``ScheduledMsmContext.measure_engines``).
+#: Selection is by measurement, not platform (VERDICT r3 task 7) — a slow
+#: engine can never become the silent default once a prewarm has run.
+_ENGINE_CHOICE: dict = {}
+
 #: Insertion steps per Pallas segment call: bounds the XLA-gathered point
 #: stream to SEG * 2 * 360 KB of HBM while amortizing call overhead.
 _SEG = 32
@@ -801,7 +807,43 @@ class ScheduledMsmContext:
         """Σ scalars[i] · base[i] over the first len(scalars) base points."""
         return self.msm_async(scalars)()
 
-    def msm_async(self, scalars, only_if_compiled: bool = False):
+    def measure_engines(self, scalars) -> dict:
+        """Compile BOTH device engines for this scalar shape, time each
+        end-to-end (dispatch -> group element), record the winner in
+        ``_ENGINE_CHOICE`` and return {engine: pts/s}.
+
+        Engine choice is thereby by measurement, not platform (VERDICT r3
+        task 7).  Blocking (cold compiles) — call from prewarm paths only,
+        never inline in a prove.
+        """
+        import time
+
+        n = (len(scalars) // 32 if isinstance(scalars, (bytes, bytearray))
+             else len(scalars))
+        engines = ["xla"]
+        if _pallas_msm_enabled():
+            engines.append("pallas")
+        rates = {}
+        base_key = None
+        for eng in engines:
+            try:
+                fin = self.msm_async(scalars, engine=eng)
+                if fin is None:
+                    continue
+                fin()  # compile + first run
+                t0 = time.perf_counter()
+                fin = self.msm_async(scalars, engine=eng)
+                fin()
+                rates[eng] = n / max(time.perf_counter() - t0, 1e-9)
+                base_key = self._last_base_key
+            except Exception:
+                continue  # broken engine loses by forfeit
+        if rates and base_key is not None:
+            _ENGINE_CHOICE[base_key] = max(rates, key=rates.get)
+        return rates
+
+    def msm_async(self, scalars, only_if_compiled: bool = False,
+                  engine: Optional[str] = None):
         """Dispatch the MSM and return a zero-arg finisher.
 
         The device crunches between dispatch and the finisher call, so a
@@ -840,8 +882,16 @@ class ScheduledMsmContext:
         # dynamic bound skips, so quantizing collapses the data-dependent
         # r_exact into ONE compile shape per size bucket
         r_c = max(1 << (plan.r_exact - 1).bit_length(), 16)
-        use_pallas = _pallas_msm_enabled()
-        key = (chunks, m, w_count, r_c, use_pallas)
+        base_key = (chunks, m, w_count, r_c)
+        self._last_base_key = base_key
+        if engine is None:
+            # measured winner for this shape if known, platform default
+            # (Pallas on TPU) otherwise
+            engine = _ENGINE_CHOICE.get(
+                base_key, "pallas" if _pallas_msm_enabled() else "xla"
+            )
+        use_pallas = engine == "pallas"
+        key = base_key + (use_pallas,)
         if only_if_compiled and key not in _COMPILED_SHAPES:
             return None
         if use_pallas:

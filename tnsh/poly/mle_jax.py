@@ -142,12 +142,44 @@ def sum_of_products_round_evals(
 
 
 # jitted wrappers (shapes cached by XLA)
-fold_jit = jax.jit(fold)
+_fold_jit_xla = jax.jit(fold)
 sum_tree_jit = jax.jit(sum_tree)
-product_round_evals_jit = jax.jit(product_round_evals)
-sum_of_products_round_evals_jit = jax.jit(
+_product_round_evals_jit_xla = jax.jit(product_round_evals)
+_sop_round_evals_jit_xla = jax.jit(
     sum_of_products_round_evals, static_argnums=(2,)
 )
+
+
+# Routed entry points: on TPU backends large tables run the VMEM-resident
+# Pallas kernels (tnsh.field.fr_pallas — the XLA CIOS chain round-trips
+# HBM and sustains ~54 M muls/s vs Pallas's ~230 M, PERF_NOTES round-3
+# finding 9); small/odd shapes and CPU keep the XLA path.  Both are
+# exact, so proofs are identical either way.
+
+def fold_jit(table: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    from ..field import fr_pallas
+
+    if fr_pallas.enabled() and fr_pallas.can_fold(table.shape[1]):
+        return fr_pallas.fold(table, r)
+    return _fold_jit_xla(table, r)
+
+
+def product_round_evals_jit(tables, scale=None) -> jnp.ndarray:
+    from ..field import fr_pallas
+
+    if fr_pallas.enabled() and fr_pallas.can_round(tables[0].shape[1]):
+        return fr_pallas.product_round_evals(tables, scale)
+    return _product_round_evals_jit_xla(tables, scale)
+
+
+def sum_of_products_round_evals_jit(tables, coeffs, term_idxs) -> jnp.ndarray:
+    from ..field import fr_pallas
+
+    if fr_pallas.enabled() and fr_pallas.can_round(tables[0].shape[1]):
+        return fr_pallas.sum_of_products_round_evals(
+            tables, coeffs, term_idxs
+        )
+    return _sop_round_evals_jit_xla(tables, coeffs, term_idxs)
 
 
 @jax.jit
