@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--log-t", type=int, default=16)
     ap.add_argument("--shout", action="store_true",
                     help="benchmark ShoutSound instead of TwistSound")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="total prove runs (warm repeats after the first)")
     args = ap.parse_args()
     if args.shout:
         return shout_main(args)
@@ -55,6 +57,11 @@ def main():
     print(f"TwistSound sparse prove K=2^{args.log_k} T=2^{args.log_t}: "
           f"{prove_s:.1f}s (peak RSS {rss:.2f} GB; dense would need a "
           f"{K*T:,}-entry table and a {K*T:,}-point SRS)", flush=True)
+    for i in range(args.runs - 1):
+        t0 = time.perf_counter()
+        proof = TwistSound.prove(trace, pp)
+        print(f"  warm prove #{i + 2}: {time.perf_counter()-t0:.1f}s",
+              flush=True)
 
     t0 = time.perf_counter()
     ok = TwistSound.verify(proof, vp)

@@ -137,3 +137,53 @@ def test_shout_sound_proof_roundtrip(params4):
     blob = shout_sound_proof_to_bytes(proof)
     back = shout_sound_proof_from_bytes(blob)
     assert ShoutSound.verify(back, table.entries, vp)
+
+
+def test_twist_bits_proof_roundtrip(params4):
+    from tnsh.core.proof_io import (
+        twist_bits_proof_from_bytes,
+        twist_bits_proof_to_bytes,
+    )
+    from tnsh.protocols.twist_bits import TwistBits
+
+    pp, vp = params4
+    trace = MemoryTrace(8)
+    trace.write(3, Fr(11))
+    trace.read(3)
+    trace.write(1, Fr(22))
+    trace.read(1)
+    proof = TwistBits.prove(trace, pp)
+    blob = twist_bits_proof_to_bytes(proof)
+    back = twist_bits_proof_from_bytes(blob)
+    assert TwistBits.verify(back, vp)
+    bad = bytearray(blob)
+    bad[-1] ^= 1
+    try:
+        mutated = twist_bits_proof_from_bytes(bytes(bad))
+    except Exception:
+        return  # invalid point encoding also counts as rejection
+    assert not TwistBits.verify(mutated, vp)
+
+
+def test_shout_bits_proof_roundtrip(params4):
+    from tnsh.core.proof_io import (
+        shout_bits_proof_from_bytes,
+        shout_bits_proof_to_bytes,
+    )
+    from tnsh.protocols.twist_bits import ShoutBits
+
+    pp, vp = params4
+    table = LookupTable([Fr(i * i) for i in range(8)])
+    for i in (3, 1, 7):
+        table.lookup(i)
+    proof = ShoutBits.prove(table, pp)
+    blob = shout_bits_proof_to_bytes(proof)
+    back = shout_bits_proof_from_bytes(blob)
+    assert ShoutBits.verify(back, table.entries, vp)
+    bad = bytearray(blob)
+    bad[40] ^= 1  # inside the first commitment
+    try:
+        mutated = shout_bits_proof_from_bytes(bytes(bad))
+    except Exception:
+        return
+    assert not ShoutBits.verify(mutated, table.entries, vp)

@@ -65,6 +65,12 @@ from .protocols.twist import (
     Twist,
     TwistProof,
 )
+from .protocols.twist_bits import (
+    ShoutBits,
+    ShoutBitsProof,
+    TwistBits,
+    TwistBitsProof,
+)
 
 __version__ = "0.1.0"
 
@@ -101,6 +107,8 @@ __all__ = [
     "ProverParams",
     "Shout",
     "ShoutProof",
+    "ShoutBits",
+    "ShoutBitsProof",
     "ShoutSound",
     "ShoutSoundProof",
     "SumCheck",
@@ -111,6 +119,8 @@ __all__ = [
     "Twist",
     "TwistAndShoutError",
     "TwistProof",
+    "TwistBits",
+    "TwistBitsProof",
     "TwistSound",
     "TwistSoundProof",
     "VectorCommitmentScheme",

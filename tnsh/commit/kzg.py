@@ -130,12 +130,10 @@ def _warm_in_background(srs_id: int, blob, st: dict) -> None:
     def work():
         try:
             ctx = _tpu_srs_context(srs_id)
-            ctx.msm(blob)  # compile (minutes over a cold tunnel)
-            t0 = time.perf_counter()
-            ctx.msm(blob)
-            n = len(blob) // 32 if isinstance(blob, (bytes, bytearray)) \
-                else len(blob)
-            st["tpu"] = n / max(time.perf_counter() - t0, 1e-9)
+            # compile + time BOTH engines (budget-capped) and keep the
+            # measured winner — same policy as prewarm_tpu_msm
+            rates = ctx.measure_engines(blob)
+            st["tpu"] = max(rates.values()) if rates else None
         except Exception:
             st["tpu"] = None  # broken TPU path: stay host-only
         finally:

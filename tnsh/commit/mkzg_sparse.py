@@ -234,12 +234,19 @@ def _msm_over(base: object, scalars) -> G1:
     from ..core.params import NativeSRS
 
     if isinstance(base, NativeSRS) and not os.environ.get("TNSH_NO_NATIVE"):
-        # pin to the native host MSM: a sound prove issues ~300 of these
-        # T-point MSMs back to back — per-call TPU round trips (29 ms
-        # latency, digit upload, plan) would dominate, and the host MSM is
-        # faster at T <= 2^16 anyway (PERF_NOTES round-2 findings)
         from .. import _native
 
+        n = len(data) // 32
+        from .kzg import _TPU_MSM_MIN, _hybrid_srs_msm, _tpu_msm_enabled
+
+        if n >= _TPU_MSM_MIN and _tpu_msm_enabled():
+            # Large commit/open MSMs ride the adaptive host+TPU hybrid
+            # (inert until the kernel shape is prewarmed — see
+            # sound.prewarm_sound(tpu_msm=...); a cold shape never
+            # compiles inline).  Small MSMs pin to the native host MSM:
+            # per-call TPU round trips (29 ms latency, digit upload,
+            # plan) dominate below ~2^16 (PERF_NOTES round-2 findings).
+            return _hybrid_srs_msm(base.srs_id, data, n)
         return _native.srs_msm(base.srs_id, data)
     return msm(base, data)
 

@@ -348,8 +348,10 @@ _COMPILED_SHAPES: set = set()
 _ENGINE_CHOICE: dict = {}
 
 #: Insertion steps per Pallas segment call: bounds the XLA-gathered point
-#: stream to SEG * 2 * 360 KB of HBM while amortizing call overhead.
-_SEG = 32
+#: stream HBM footprint while amortizing per-call launch overhead
+#: (measured round 4: ~2 ms/pallas_call; 293 vs 298 M muls/s at 32 vs
+#: 128, so fewer+larger calls win on launch count alone).
+_SEG = 128
 
 
 @lru_cache(maxsize=64)
@@ -473,9 +475,19 @@ def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
         cZ = fq.select(canon_mask, jnp.take(accZ, canon_src, axis=1), inf_z)
 
         Xw, Yw, Zw = _window_sums(fq, _padd, cX, cY, cZ, w_count)
-        return Xw, Yw, Zw, hazards
+        return _pack_result(jnp, Xw, Yw, Zw, hazards)
 
     return jax.jit(kernel)
+
+
+def _pack_result(jnp, Xw, Yw, Zw, hazards):
+    """(L, 3W+1) single-array result: window sums side by side, hazard
+    count in the last lane of plane 0.  One packed array = ONE device
+    fetch in finish() — each separate fetch over the axon tunnel costs a
+    ~30 ms round trip (round-4 finding: 4 fetches were ~15% of the whole
+    2^16 MSM)."""
+    hzp = jnp.zeros((_L, 1), jnp.int32).at[0, 0].set(hazards)
+    return jnp.concatenate([Xw, Yw, Zw, hzp], axis=1)
 
 
 def _make_insert_seg(seg: int):
@@ -706,7 +718,7 @@ def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int,
         cY = fq.select(canon_mask, jnp.take(accY, canon_src, axis=1), inf_y)
         cZ = fq.select(canon_mask, jnp.take(accZ, canon_src, axis=1), inf_z)
         Xw, Yw, Zw = _window_sums(fq, _padd, cX, cY, cZ, w_count)
-        return Xw, Yw, Zw, hazards
+        return _pack_result(jnp, Xw, Yw, Zw, hazards)
 
     return jax.jit(kernel)
 
@@ -740,6 +752,10 @@ def _compiled_to_mont(n_pad: int):
 # ---------------------------------------------------------------------------
 
 def _choose_chunk(n: int) -> int:
+    """Chunk size cap 32768.  m=65536 was A/B-tested in round 4 (single
+    chunk at 2^16: fewer per-chunk step maxima) and measured equal within
+    variance (100.8k vs 107.7k pts/s) with a 2.4x slower cold compile —
+    reverted."""
     m = 512
     while m < n and m < 32768:
         m *= 2
@@ -807,25 +823,39 @@ class ScheduledMsmContext:
         """Σ scalars[i] · base[i] over the first len(scalars) base points."""
         return self.msm_async(scalars)()
 
-    def measure_engines(self, scalars) -> dict:
-        """Compile BOTH device engines for this scalar shape, time each
+    def measure_engines(self, scalars, budget_s: float = None) -> dict:
+        """Compile the device engines for this scalar shape, time each
         end-to-end (dispatch -> group element), record the winner in
         ``_ENGINE_CHOICE`` and return {engine: pts/s}.
 
         Engine choice is thereby by measurement, not platform (VERDICT r3
         task 7).  Blocking (cold compiles) — call from prewarm paths only,
         never inline in a prove.
+
+        Engines are tried cheapest-compile-first (Pallas kernels compile
+        in seconds over the axon tunnel; the XLA engine's giant fused
+        module has been observed to take 40+ minutes), and once
+        ``budget_s`` (default TNSH_MSM_MEASURE_BUDGET or 600 s) of wall
+        clock is spent, no FURTHER engine is started — the winner among
+        the engines actually measured is recorded, so a prewarm can never
+        wedge a setup path indefinitely.
         """
         import time
 
+        if budget_s is None:
+            budget_s = float(os.environ.get(
+                "TNSH_MSM_MEASURE_BUDGET", "600"))
         n = (len(scalars) // 32 if isinstance(scalars, (bytes, bytearray))
              else len(scalars))
         engines = ["xla"]
         if _pallas_msm_enabled():
-            engines.append("pallas")
+            engines.insert(0, "pallas")
         rates = {}
         base_key = None
+        t_start = time.perf_counter()
         for eng in engines:
+            if rates and time.perf_counter() - t_start > budget_s:
+                break
             try:
                 fin = self.msm_async(scalars, engine=eng)
                 if fin is None:
@@ -902,7 +932,7 @@ class ScheduledMsmContext:
         else:
             kern = _compiled_msm_kernel(chunks, m, w_count, r_c)
         _COMPILED_SHAPES.add(key)
-        Xw, Yw, Zw, hz = kern(
+        out = kern(
             self.xs, self.ys, jnp.asarray(d),
             jnp.asarray(plan.base_map), jnp.asarray(plan.logk_map),
             jnp.asarray(plan.fold_masks), jnp.asarray(plan.canon_src),
@@ -910,13 +940,15 @@ class ScheduledMsmContext:
         )
 
         def finish() -> G1:
-            hz_v = int(hz)
+            arr = np.asarray(out)  # ONE tunnel fetch for the whole result
+            w = (arr.shape[1] - 1) // 3
+            hz_v = int(arr[0, -1])
             if hz_v:
                 # accumulator==input hazard: result may be wrong — host path
                 self.hazard_count += hz_v
                 return self._host_fallback(scalars, n)
             return _combine_windows(
-                np.asarray(Xw), np.asarray(Yw), np.asarray(Zw)
+                arr[:, :w], arr[:, w:2 * w], arr[:, 2 * w:3 * w]
             )
 
         return finish

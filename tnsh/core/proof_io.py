@@ -238,6 +238,143 @@ def shout_sound_proof_to_bytes(proof) -> bytes:
     return b"".join(out)
 
 
+# -- bit-column sound proofs (wire version 3) -------------------------------
+#
+#   SumCheckDProof:  degree u64 | n_rounds u64 | rounds (fr_vec each) |
+#                    final_evaluation 32B
+#   TwistBitsProof:  magic 'TWBT' ver=3 u32 | log_memory u64 | log_ops u64 |
+#                    n_comms u64 | G1c each | sumcheckD A | v_val 32B |
+#                    sumcheckD B | fr_vec values_rj | fr_vec values_s |
+#                    MLProof rj | MLProof s
+#   ShoutBitsProof:  magic 'SHBT' ver=3 u32 | log_table u64 | log_lookups
+#                    u64 | n_comms u64 | G1c each | sumcheckD | fr_vec
+#                    values_rj | MLProof rj
+
+_BITS_VERSION = 3
+
+
+def sumcheck_d_proof_to_bytes(proof) -> bytes:
+    out = [struct.pack("<QQ", proof.degree, len(proof.round_polynomials))]
+    for rp in proof.round_polynomials:
+        out.append(write_fr_vec(rp))
+    out.append(proof.final_evaluation.to_bytes_le())
+    return b"".join(out)
+
+
+def sumcheck_d_proof_from_bytes(data: bytes, offset: int = 0):
+    from ..iop.sumcheck_d import SumCheckDProof
+
+    degree, n = struct.unpack_from("<QQ", data, offset)
+    offset += 16
+    rounds: List[List[Fr]] = []
+    for _ in range(n):
+        rp, offset = read_fr_vec(data, offset)
+        rounds.append(rp)
+    final = fr_from_bytes(data[offset:offset + 32])
+    offset += 32
+    return SumCheckDProof(degree, rounds, final), offset
+
+
+def _check_bits_header(magic: bytes, data: bytes) -> None:
+    if data[:4] != magic:
+        raise InvalidParametersError(f"bad proof magic (want {magic!r})")
+    (ver,) = struct.unpack_from("<I", data, 4)
+    if ver != _BITS_VERSION:
+        raise InvalidParametersError(f"unsupported proof version {ver}")
+
+
+def _write_comms(comms) -> bytes:
+    out = [struct.pack("<Q", len(comms))]
+    for c in comms:
+        out.append(g1_to_bytes(c.commitment, compress=True))
+    return b"".join(out)
+
+
+def _read_comms(data: bytes, offset: int):
+    (n,) = struct.unpack_from("<Q", data, offset)
+    offset += 8
+    comms = []
+    for _ in range(n):
+        comms.append(KZGCommitmentValue(g1_from_bytes(data[offset:offset + 32])))
+        offset += 32
+    return comms, offset
+
+
+def twist_bits_proof_to_bytes(proof) -> bytes:
+    out = [b"TWBT", struct.pack("<I", _BITS_VERSION)]
+    out.append(struct.pack("<QQ", proof.log_memory, proof.log_ops))
+    out.append(_write_comms(proof.column_commitments))
+    out.append(sumcheck_d_proof_to_bytes(proof.check_a))
+    out.append(proof.v_val.to_bytes_le())
+    out.append(sumcheck_d_proof_to_bytes(proof.check_b))
+    out.append(write_fr_vec(proof.values_rj))
+    out.append(write_fr_vec(proof.values_s))
+    out.append(_ml_proof_to_bytes(proof.proof_rj))
+    out.append(_ml_proof_to_bytes(proof.proof_s))
+    return b"".join(out)
+
+
+def twist_bits_proof_from_bytes(data: bytes):
+    from ..protocols.twist_bits import TwistBitsProof
+
+    _check_bits_header(b"TWBT", data)
+    offset = 8
+    log_memory, log_ops = struct.unpack_from("<QQ", data, offset)
+    offset += 16
+    comms, offset = _read_comms(data, offset)
+    check_a, offset = sumcheck_d_proof_from_bytes(data, offset)
+    v_val = fr_from_bytes(data[offset:offset + 32])
+    offset += 32
+    check_b, offset = sumcheck_d_proof_from_bytes(data, offset)
+    values_rj, offset = read_fr_vec(data, offset)
+    values_s, offset = read_fr_vec(data, offset)
+    proof_rj, offset = _ml_proof_from_bytes(data, offset)
+    proof_s, offset = _ml_proof_from_bytes(data, offset)
+    return TwistBitsProof(
+        log_memory=log_memory,
+        log_ops=log_ops,
+        column_commitments=comms,
+        check_a=check_a,
+        v_val=v_val,
+        check_b=check_b,
+        values_rj=values_rj,
+        values_s=values_s,
+        proof_rj=proof_rj,
+        proof_s=proof_s,
+    )
+
+
+def shout_bits_proof_to_bytes(proof) -> bytes:
+    out = [b"SHBT", struct.pack("<I", _BITS_VERSION)]
+    out.append(struct.pack("<QQ", proof.log_table, proof.log_lookups))
+    out.append(_write_comms(proof.column_commitments))
+    out.append(sumcheck_d_proof_to_bytes(proof.check))
+    out.append(write_fr_vec(proof.values_rj))
+    out.append(_ml_proof_to_bytes(proof.proof_rj))
+    return b"".join(out)
+
+
+def shout_bits_proof_from_bytes(data: bytes):
+    from ..protocols.twist_bits import ShoutBitsProof
+
+    _check_bits_header(b"SHBT", data)
+    offset = 8
+    log_table, log_lookups = struct.unpack_from("<QQ", data, offset)
+    offset += 16
+    comms, offset = _read_comms(data, offset)
+    check, offset = sumcheck_d_proof_from_bytes(data, offset)
+    values_rj, offset = read_fr_vec(data, offset)
+    proof_rj, offset = _ml_proof_from_bytes(data, offset)
+    return ShoutBitsProof(
+        log_table=log_table,
+        log_lookups=log_lookups,
+        column_commitments=comms,
+        check=check,
+        values_rj=values_rj,
+        proof_rj=proof_rj,
+    )
+
+
 def shout_sound_proof_from_bytes(data: bytes):
     from ..protocols.sound import ShoutSoundProof
 

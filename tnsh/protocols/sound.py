@@ -181,22 +181,46 @@ def _kinv(log_k: int) -> int:
     return pow((1 << log_k) % _P, _P - 2, _P)
 
 
-def prewarm_sound(log_k: int, log_t: int) -> None:
+def prewarm_sound(log_k: int, log_t: int,
+                  tpu_msm: Optional[bool] = None) -> None:
     """Build every lru-cached SRS a sound prove at (K=2^log_k, T=2^log_t)
     will touch — the whole cold-vs-warm prover gap (VERDICT round-2 task
     7).  Call once at setup time; subsequent proves at this shape start
     warm.  Safe under an external ceremony SRS (the factorized cube setup
-    is skipped there, matching the prover's routing)."""
+    is skipped there, matching the prover's routing).
+
+    ``tpu_msm``: additionally compile + engine-measure the TPU scheduled
+    Pippenger for the prove's commit-sized MSM buckets
+    (``kzg.prewarm_tpu_msm``), so the adaptive host+TPU hybrid engages
+    from the FIRST prove instead of staying host-only (PERF_NOTES
+    round-3 finding 6).  Default: auto — on when a TPU backend is
+    enabled and T reaches the hybrid threshold.  The first call per
+    process pays the kernel compile (minutes over a cold axon tunnel;
+    seconds with the persistent compile cache)."""
     n = log_k + log_t
-    setup_multilinear_params(log_t)
+    params_t, _ = setup_multilinear_params(log_t)
     multilinear_verification_key(log_t)
     multilinear_verification_key(n)
+    cp = None
     if n >= _SPARSE_MIN_VARS and not has_external_multilinear_srs(n):
-        cube_params(log_k, log_t)
+        cp = cube_params(log_k, log_t)
     elif not has_external_multilinear_srs(n):
         setup_multilinear_params(n)
         if n >= 1:  # dense cube opens still ride the factorized order
-            cube_params(log_k, log_t)
+            cp = cube_params(log_k, log_t)
+
+    from ..commit import kzg
+    from ..core.params import NativeSRS
+
+    t_size = 1 << log_t
+    if tpu_msm is None:
+        tpu_msm = kzg._tpu_msm_enabled() and t_size >= kzg._TPU_MSM_MIN
+    if tpu_msm:
+        seg = params_t.basis[0]
+        if isinstance(seg, NativeSRS):
+            kzg.prewarm_tpu_msm(seg.srs_id, t_size)
+        if cp is not None and isinstance(cp.j_bases[0], NativeSRS):
+            kzg.prewarm_tpu_msm(cp.j_bases[0].srs_id, t_size)
 
 
 # ===========================================================================
