@@ -168,10 +168,18 @@ def main() -> None:
             "got = ctx.msm(full)\n"
             "t0 = time.perf_counter(); got = ctx.msm(full)\n"
             "tpu = time.perf_counter() - t0\n"
+            "# burst-4: how proves use it (dispatch openings together);\n"
+            "# amortizes the ~0.35 s/call tunnel latency (PERF_NOTES 17)\n"
+            "t0 = time.perf_counter()\n"
+            "fins = [ctx.msm_async(full) for _ in range(4)]\n"
+            "res = [f() for f in fins]\n"
+            "burst = (time.perf_counter() - t0) / 4\n"
             "t0 = time.perf_counter(); want = _native.srs_msm(sid, full)\n"
             "host = time.perf_counter() - t0\n"
             "assert got == want, 'TPU MSM mismatch'\n"
+            "assert all(r == want for r in res), 'burst MSM mismatch'\n"
             "print(f'{jax.devices()[0].platform} {n/tpu/1e3:.0f}k pts/s "
+            "single, {n/burst/1e3:.0f}k pts/s burst-4 "
             "(host {n/host/1e3:.0f}k pts/s, match)')\n"
         )
         out = subprocess.run(

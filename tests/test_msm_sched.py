@@ -161,18 +161,25 @@ def test_compiled_kernel_constructors_are_cached():
     on BOTH engine constructors: same shape twice => exactly one miss."""
     from tnsh.commit import msm_sched
 
-    for ctor in (
-        msm_sched._compiled_msm_kernel,
-        msm_sched._compiled_msm_kernel_pallas,
+    for ctor, cached, args2 in (
+        (msm_sched._compiled_msm_kernel,
+         msm_sched._compiled_msm_kernel,
+         (1, 512, 4, 16)),
+        (msm_sched._compiled_msm_kernel_pallas,
+         msm_sched._compiled_msm_kernel_pallas_cached,
+         # default-arg and explicit-arg call forms must share ONE entry
+         # (lru_cache does not normalize defaults — a mismatch compiles
+         # the same kernel twice, ~400 s on TPU)
+         (1, 512, 4, 16, False)),
     ):
-        assert hasattr(ctor, "cache_info"), (
-            f"{ctor.__name__} lost its @lru_cache"
+        assert hasattr(cached, "cache_info"), (
+            f"{cached.__name__} lost its @lru_cache"
         )
-        ctor.cache_clear()
+        cached.cache_clear()
         a = ctor(1, 512, 4, 16)
-        b = ctor(1, 512, 4, 16)
+        b = ctor(*args2)
         assert a is b, f"{ctor.__name__} rebuilt for an identical shape"
-        info = ctor.cache_info()
+        info = cached.cache_info()
         assert info.misses == 1 and info.hits == 1
     # the shared Pallas segment builder keeps its own cache, keyed on the
     # interpret flag too (a non-interpret kernel must never serve an

@@ -55,10 +55,14 @@ _TPU_MSM_MIN = int(os.environ.get("TNSH_TPU_MSM_MIN", str(1 << 18)))
 #: (srs, size-bucket) is warm, then split by measured engine throughput.
 _TPU_MSM_FRACTION = os.environ.get("TNSH_TPU_MSM_FRACTION")
 #: Calls at one (srs, bucket) before a BACKGROUND thread warms the TPU
-#: context.  A cold scheduled-Pippenger compile takes minutes over the
-#: axon tunnel; routing it inline once turned a 162 s sound prove into
-#: 2840 s (round-3 measurement) — warm-up must never block a prove.
-_TPU_MSM_WARM_AFTER = int(os.environ.get("TNSH_TPU_MSM_WARM_AFTER", "2"))
+#: context.  Default OFF (0 disables): a sound prove touches a fresh
+#: (srs, size) bucket per opening-fold level, and with auto-warm each of
+#: them spawned an engine-measuring compile thread (~340 s/compile over
+#: the axon tunnel) — the resulting compile storm made repeated T=2^20
+#: proves DEGRADE 128 -> 230 -> 357 s (round-4 measurement).  Explicit
+#: warming via prewarm_tpu_msm / prewarm_sound is the supported route;
+#: set TNSH_TPU_MSM_WARM_AFTER=N to re-enable opportunistic warming.
+_TPU_MSM_WARM_AFTER = int(os.environ.get("TNSH_TPU_MSM_WARM_AFTER", "0"))
 _tpu_msm_contexts: dict = {}
 #: (srs_id, bucket) -> {"host": rate_ema, "tpu": rate_ema | None,
 #:                      "calls": int, "warming": bool}
@@ -144,7 +148,14 @@ def _warm_in_background(srs_id: int, blob, st: dict) -> None:
 
 
 def _hybrid_srs_msm(srs_id: int, scalars, n_sc: int) -> G1:
-    """Adaptive host+TPU split for large SRS MSMs (VERDICT round-2 task 4).
+    """Adaptive host+TPU split for one large SRS MSM — see
+    :func:`hybrid_srs_msm_many`."""
+    return hybrid_srs_msm_many(srs_id, [scalars], n_sc)[0]
+
+
+def hybrid_srs_msm_many(srs_id: int, scalars_list, n_sc: int) -> list:
+    """Adaptive host+TPU split for a BATCH of same-size large SRS MSMs
+    (VERDICT round-2 task 4; round-4 burst dispatch).
 
     Policy: the TPU participates only when the scheduled-Pippenger kernel
     for THIS EXACT split shape is already compiled (``msm_async(...,
@@ -155,7 +166,12 @@ def _hybrid_srs_msm(srs_id: int, scalars, n_sc: int) -> G1:
     once turned a 162 s sound prove into 2840 s).  Once warm, the split
     fraction tracks the measured engine throughput EMAs, so the hybrid
     approaches n/(r_host + r_tpu) — at least as fast as either engine
-    alone.  Results are the identical group element any path produces."""
+    alone.
+
+    ALL TPU parts are dispatched before any host work and finished after
+    it: per-call axon dispatch/fetch latency (~0.35 s, PERF_NOTES
+    round-4 finding 17) is paid once per batch instead of once per MSM.
+    Results are the identical group elements any path produces."""
     import time
 
     from .. import _native
@@ -164,7 +180,7 @@ def _hybrid_srs_msm(srs_id: int, scalars, n_sc: int) -> G1:
         _msm_bucket(srs_id, n_sc),
         {"host": None, "tpu": None, "calls": 0, "warming": False},
     )
-    st["calls"] += 1
+    st["calls"] += len(scalars_list)
 
     if _TPU_MSM_FRACTION is not None:
         frac = min(max(float(_TPU_MSM_FRACTION), 0.0), 1.0)
@@ -174,43 +190,59 @@ def _hybrid_srs_msm(srs_id: int, scalars, n_sc: int) -> G1:
         frac = 0.4  # first warm call: the round-2 measured starting point
     split = int(n_sc * frac)
 
-    if isinstance(scalars, (bytes, bytearray)):
-        tpu_part = scalars[: 32 * split]
-        host_part = bytes(32 * split) + bytes(scalars[32 * split:])
-    else:
-        tpu_part = list(scalars[:split])
-        host_part = [Fr(0)] * split + list(scalars[split:])
+    parts = []
+    for scalars in scalars_list:
+        if isinstance(scalars, (bytes, bytearray)):
+            parts.append((scalars[: 32 * split],
+                          bytes(32 * split) + bytes(scalars[32 * split:]),
+                          scalars))
+        else:
+            parts.append((list(scalars[:split]),
+                          [Fr(0)] * split + list(scalars[split:]),
+                          scalars))
 
-    finish = None
+    fins = []
     t0 = time.perf_counter()
     if split >= 1:
         ctx = _tpu_srs_context(srs_id)
-        finish = ctx.msm_async(
-            tpu_part, only_if_compiled=_TPU_MSM_FRACTION is None
-        )
-    if finish is None:
+        for tpu_part, _, _ in parts:
+            fin = ctx.msm_async(
+                tpu_part, only_if_compiled=_TPU_MSM_FRACTION is None
+            )
+            if fin is None:
+                fins = None
+                break
+            fins.append(fin)
+    else:
+        fins = None
+    if fins is None:
         # cold kernel shape: host runs everything; maybe warm off-path
+        # (opt-in — see _TPU_MSM_WARM_AFTER)
         if (_TPU_MSM_FRACTION is None and split >= 1
+                and _TPU_MSM_WARM_AFTER > 0
                 and st["calls"] > _TPU_MSM_WARM_AFTER
                 and not st["warming"]):
-            _warm_in_background(srs_id, tpu_part, st)
+            _warm_in_background(srs_id, parts[0][0], st)
         t0 = time.perf_counter()
-        res = _native.srs_msm(srs_id, scalars)
-        hr = n_sc / max(time.perf_counter() - t0, 1e-9)
+        out = [_native.srs_msm(srs_id, scalars)
+               for _, _, scalars in parts]
+        hr = (len(parts) * n_sc
+              / max(time.perf_counter() - t0, 1e-9))
         st["host"] = hr if st["host"] is None else 0.7 * st["host"] + 0.3 * hr
-        return res
-    host_res = _native.srs_msm(srs_id, host_part)
+        return out
+    host_res = [_native.srs_msm(srs_id, host_part)
+                for _, host_part, _ in parts]
     t_host = max(time.perf_counter() - t0, 1e-9)
-    res = host_res.add(finish())
+    out = [h.add(f()) for h, f in zip(host_res, fins)]
     if _TPU_MSM_FRACTION is None:
         # update throughput EMAs (TPU elapsed is bounded below by the
         # overlapped host part, so the estimate is conservative)
         t_all = max(time.perf_counter() - t0, 1e-9)
-        hr = (n_sc - split) / t_host
-        tr = split / t_all
+        hr = len(parts) * (n_sc - split) / t_host
+        tr = len(parts) * split / t_all
         st["host"] = hr if st["host"] is None else 0.7 * st["host"] + 0.3 * hr
         st["tpu"] = tr if st["tpu"] is None else 0.7 * st["tpu"] + 0.3 * tr
-    return res
+    return out
 
 
 def msm(points: Sequence[G1], scalars: Sequence[Fr]) -> G1:

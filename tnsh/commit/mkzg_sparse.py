@@ -277,6 +277,63 @@ def commit_sparse(params: CubeParams, table: SparseCubeTable
     return KZGCommitmentValue(_msm_over(params.j_bases[0], scalars))
 
 
+def _commit_scalars(params: CubeParams, table) -> object:
+    """The T-vector of eq(tau_k)-weighted column scalars for one cube
+    witness table (bytes from the native accumulator when available)."""
+    native = _wt_native()
+    incremental = isinstance(table, IncrementalCubeTable)
+    if native is not None:
+        return native.WtAccumulator(1 << params.log_t).add_col_scalars(
+            table.csr(), params.eqk_tables[0], 1 << params.log_k,
+            incremental,
+        ).export()
+    eqk = params.eqk_tables[0]
+    if incremental:
+        scalars: List[int] = []
+        cur = 0
+        for ups in table.updates:
+            scalars.append(cur)
+            for k, d in ups:
+                cur = (cur + d * eqk[k]) % _P
+        return scalars
+    return [
+        sum(v * eqk[k] for k, v in col) % _P for col in table.cols
+    ]
+
+
+def commit_cube_batch(params: CubeParams, tables) -> List[KZGCommitmentValue]:
+    """Commit several cube witness tables with ONE burst of hybrid MSMs.
+
+    All TPU parts dispatch before any host MSM runs (the per-call axon
+    dispatch/fetch latency amortizes across the batch — PERF_NOTES
+    round-4 finding 17); identical group elements to committing one at
+    a time."""
+    import os
+
+    from ..core.params import NativeSRS
+
+    scalars = [_commit_scalars(params, t) for t in tables]
+    base = params.j_bases[0]
+    if (isinstance(base, NativeSRS)
+            and not os.environ.get("TNSH_NO_NATIVE")):
+        from .kzg import _TPU_MSM_MIN, _tpu_msm_enabled, hybrid_srs_msm_many
+
+        blobs = [
+            s if isinstance(s, (bytes, bytearray))
+            else b"".join(int(v).to_bytes(32, "little") for v in s)
+            for s in scalars
+        ]
+        n = len(blobs[0]) // 32
+        if n >= _TPU_MSM_MIN and _tpu_msm_enabled():
+            return [
+                KZGCommitmentValue(g)
+                for g in hybrid_srs_msm_many(base.srs_id, blobs, n)
+            ]
+    return [
+        KZGCommitmentValue(_msm_over(base, s)) for s in scalars
+    ]
+
+
 def commit_incremental(params: CubeParams, table: IncrementalCubeTable
                        ) -> KZGCommitmentValue:
     native = _wt_native()

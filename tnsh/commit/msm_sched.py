@@ -585,9 +585,19 @@ def _make_insert_seg_cached(seg: int, interpret: bool):
     return insert_seg, p_b, p2_b, one_b
 
 
-@lru_cache(maxsize=64)
 def _compiled_msm_kernel_pallas(chunks: int, m: int, w_count: int, r_c: int,
                                 interpret: bool = False):
+    """Cache-normalizing wrapper: lru_cache keys do NOT normalize default
+    arguments, so a 4-arg call and an explicit ``interpret=False`` 5-arg
+    call would build (and compile!) the same kernel twice."""
+    return _compiled_msm_kernel_pallas_cached(
+        chunks, m, w_count, r_c, bool(interpret)
+    )
+
+
+@lru_cache(maxsize=64)
+def _compiled_msm_kernel_pallas_cached(chunks: int, m: int, w_count: int,
+                                       r_c: int, interpret: bool):
     """Pallas variant of :func:`_compiled_msm_kernel` — same signature and
     bit-identical outputs, with the insertion steps' field arithmetic
     running VMEM-resident.

@@ -684,10 +684,13 @@ class TwistSound:
 
         cp = cube_params(log_k, log_t)
         params_t, _ = setup_multilinear_params(log_t)
-        c_ra = commit_sparse(cp, ra)
-        c_wa = commit_sparse(cp, wa)
-        c_inc = commit_sparse(cp, inc)
-        c_val = commit_incremental(cp, val)
+        # one burst: all four cube-commit MSMs dispatch their TPU parts
+        # before any host MSM runs (identical group elements)
+        from ..commit.mkzg_sparse import commit_cube_batch
+
+        c_ra, c_wa, c_inc, c_val = commit_cube_batch(
+            cp, [ra, wa, inc, val]
+        )
         c_ot = MultilinearKZG.commit(params_t, ot)
         c_rv = MultilinearKZG.commit(params_t, rv)
         c_wv = MultilinearKZG.commit(params_t, wv)
