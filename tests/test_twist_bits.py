@@ -197,6 +197,79 @@ class TestShoutBits:
         assert not ShoutBits.verify(sproof, wrong, vp)
 
 
+def test_jax_oracle_identical_proofs():
+    """JaxSopOracleD (device generic-degree rounds) must produce
+    bit-identical proofs to the pure-Python DenseSopOracleD."""
+    from tnsh.core.transcript import Transcript
+    from tnsh.iop.sumcheck_d import (
+        DenseSopOracleD,
+        JaxSopOracleD,
+        SumCheckD,
+    )
+
+    random.seed(55)
+    n = 7
+    size = 1 << n
+    t1 = [random.randrange(MODULUS) for _ in range(size)]
+    t2 = [random.randrange(2) for _ in range(size)]
+    t3 = [random.randrange(MODULUS) for _ in range(size)]
+    terms = [(3, [t1, t2, t3, t1, t2]), (MODULUS - 5, [t2, t3]),
+             (7, [t1])]
+    claim = DenseSopOracleD(n, terms).hypercube_sum()
+    seed = bytes([13]) * 32
+    degree = 5
+    p_host, _ = SumCheckD(n, claim, degree).prove_with_challenges(
+        DenseSopOracleD(n, terms, degree=degree), Transcript(seed)
+    )
+    p_jax, _ = SumCheckD(n, claim, degree).prove_with_challenges(
+        JaxSopOracleD(n, terms, degree=degree), Transcript(seed)
+    )
+    assert [[int(c) for c in rp] for rp in p_host.round_polynomials] == [
+        [int(c) for c in rp] for rp in p_jax.round_polynomials
+    ]
+    assert int(p_host.final_evaluation) == int(p_jax.final_evaluation)
+    ok, _ = SumCheckD(n, claim, degree).verify(p_jax, Transcript(seed))
+    assert ok
+
+
+def test_jax_oracle_twist_shaped_rounds_match():
+    """Device vs Python generic-degree oracle on a TwistBits-SHAPED term
+    structure (many shared tables, a degree-6 product, boolean columns):
+    round evaluations and post-bind evaluations must agree exactly.
+
+    Two rounds only — each round shape costs a fresh XLA compile of the
+    wide kernel (a full forced-device prove was measured at 443 s of
+    compiles for zero extra coverage; exact arithmetic makes per-round
+    equality sufficient)."""
+    from tnsh.iop.sumcheck_d import DenseSopOracleD, JaxSopOracleD
+
+    random.seed(321)
+    n = 6
+    size = 1 << n
+    rnd = lambda: [random.randrange(MODULUS) for _ in range(size)]
+    bit = lambda: [random.randrange(2) for _ in range(size)]
+    eq1, eqs, eqb, v, rv = rnd(), rnd(), rnd(), rnd(), rnd()
+    b1, b2, b3, ot = bit(), bit(), bit(), bit()
+    terms = [
+        (1, [eq1, ot, b1, b2, b3, v]),          # degree-6 read-like term
+        (MODULUS - 7, [eq1, rv]),
+        (11, [eqs, ot, b1, b2, b3, rv]),
+        (13, [eqb, b1, b1]), (MODULUS - 13, [eqb, b1]),
+        (17, [eqb, ot, ot]), (MODULUS - 17, [eqb, ot]),
+    ]
+    degree = 7
+    o_py = DenseSopOracleD(n, terms, degree=degree)
+    o_jx = JaxSopOracleD(n, terms, degree=degree)
+    for rd in range(2):
+        e_py = o_py.round_evaluations(rd)
+        e_jx = o_jx.round_evaluations(rd)
+        assert [int(x) for x in e_py] == [int(x) for x in e_jx]
+        c = Fr(0xABCDEF0 + rd)
+        o_py.bind(c)
+        o_jx.bind(c)
+    assert int(o_py.final_evaluation([])) == int(o_jx.final_evaluation([]))
+
+
 def test_generic_degree_sumcheck_engine():
     """SumCheckD round-trips an explicit high-degree sum of products."""
     from tnsh.core.transcript import Transcript

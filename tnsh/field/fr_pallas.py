@@ -178,12 +178,15 @@ def fold(table, r):
 # round evaluations
 # ---------------------------------------------------------------------------
 
-def _xpoint_vals(fr, lo, hi):
-    """Values of one table's pair-polynomial at X = 0, 1, 2, 3."""
+def _xpoint_vals(fr, lo, hi, npts: int = 4):
+    """Values of one table's pair-polynomial at X = 0..npts-1."""
     d = fr.sub(hi, lo)
-    v2 = fr.add(hi, d)
-    v3 = fr.add(v2, d)
-    return (lo, hi, v2, v3)
+    out = [lo, hi]
+    cur = hi
+    for _ in range(npts - 2):
+        cur = fr.add(cur, d)
+        out.append(cur)
+    return tuple(out)
 
 
 @lru_cache(maxsize=32)
@@ -271,7 +274,8 @@ def product_round_evals(tables, scale=None):
 
 
 @lru_cache(maxsize=64)
-def _sop_evals_call(num_tables: int, term_idxs, half: int, interpret: bool):
+def _sop_evals_call(num_tables: int, term_idxs, half: int, interpret: bool,
+                    npts: int = 4):
     jax, jnp, pl, pltpu = _get()
     nblk = half // BLOCK
     num_terms = len(term_idxs)
@@ -288,13 +292,13 @@ def _sop_evals_call(num_tables: int, term_idxs, half: int, interpret: bool):
 
         @pl.when(s == 0)
         def _init():
-            acc_ref[:] = jnp.zeros((L, 4 * RED), jnp.int32)
+            acc_ref[:] = jnp.zeros((L, npts * RED), jnp.int32)
 
         vals = [
-            _xpoint_vals(fr, tabs[2 * f][:], tabs[2 * f + 1][:])
+            _xpoint_vals(fr, tabs[2 * f][:], tabs[2 * f + 1][:], npts)
             for f in range(num_tables)
         ]
-        for x in range(4):
+        for x in range(npts):
             tot = None
             for t, idxs in enumerate(term_idxs):
                 prods = vals[idxs[0]][x]
@@ -311,14 +315,14 @@ def _sop_evals_call(num_tables: int, term_idxs, half: int, interpret: bool):
                        memory_space=pltpu.VMEM)
     cst = pl.BlockSpec((L, RED), lambda s: (0, 0),
                        memory_space=pltpu.VMEM)
-    acc = pl.BlockSpec((L, 4 * RED), lambda s: (0, 0),
+    acc = pl.BlockSpec((L, npts * RED), lambda s: (0, 0),
                        memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kern,
         grid=(nblk,),
         in_specs=[blk] * (2 * num_tables) + [cst] * (num_terms + 3),
         out_specs=acc,
-        out_shape=jax.ShapeDtypeStruct((L, 4 * RED), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((L, npts * RED), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
@@ -338,19 +342,20 @@ def _sop_evals_call(num_tables: int, term_idxs, half: int, interpret: bool):
         acc128 = call(*args, p_b, p2_b, one_b)
         sums = [
             mle_jax.sum_tree(acc128[:, x * RED:(x + 1) * RED])
-            for x in range(4)
+            for x in range(npts)
         ]
-        return jnp.concatenate(sums, axis=1)  # (L, 4)
+        return jnp.concatenate(sums, axis=1)  # (L, npts)
 
     return evals
 
 
-def sum_of_products_round_evals(tables, coeffs, term_idxs):
+def sum_of_products_round_evals(tables, coeffs, term_idxs, npts: int = 4):
     """Pallas sum-of-products round evals: same contract as
-    ``mle_jax.sum_of_products_round_evals``."""
+    ``mle_jax.sum_of_products_round_evals`` (``npts`` X-points for the
+    generic-degree bit-column oracles)."""
     half = tables[0].shape[1] // 2
     fn = _sop_evals_call(
-        len(tables), tuple(term_idxs), half, _interpret()
+        len(tables), tuple(term_idxs), half, _interpret(), npts
     )
     return fn(tuple(tables), tuple(coeffs))
 

@@ -144,6 +144,78 @@ class DenseSopOracleD:
         return Fr(total % _P)
 
 
+class JaxSopOracleD:
+    """Device-backed twin of ``DenseSopOracleD`` (tnsh.poly.mle_jax /
+    tnsh.field.fr_pallas kernels).
+
+    Tables live as (22, N) limb planes; every round is one fused
+    generic-degree device computation (VMEM-resident Pallas on TPU, XLA
+    elsewhere) and the fold binds all tables in one routed call.
+    Outputs unpack to canonical host field elements before touching the
+    transcript, so proofs are bit-identical to ``DenseSopOracleD``'s
+    (asserted in tests/test_twist_bits.py)."""
+
+    def __init__(self, num_vars: int, terms, degree: int = None):
+        import jax.numpy as jnp
+
+        from ..poly import mle_jax
+
+        self._m = mle_jax
+        size = 1 << num_vars
+        self.num_vars = num_vars
+        self.tables = []
+        self._coeffs = []
+        idxs_list = []
+        seen = {}
+        max_deg = 1
+        for coeff, tabs in terms:
+            idxs = []
+            for t in tabs:
+                key = id(t)
+                if key not in seen:
+                    if len(t) != size:
+                        raise SumCheckError("table size mismatch")
+                    seen[key] = len(self.tables)
+                    self.tables.append(jnp.asarray(mle_jax.pack_mle(
+                        [Fr(int(v) % _P) for v in t]
+                    )))
+                idxs.append(seen[key])
+            self._coeffs.append(jnp.asarray(mle_jax.pack_fr_scalar(
+                Fr(int(coeff) % _P)
+            )))
+            idxs_list.append(tuple(idxs))
+            max_deg = max(max_deg, len(idxs))
+        if not idxs_list:
+            raise SumCheckError("JaxSopOracleD needs at least one term")
+        self._idxs = tuple(idxs_list)
+        self.degree = max_deg if degree is None else degree
+        if self.degree < max_deg:
+            raise SumCheckError("declared degree below term degree")
+
+    def round_evaluations(self, round_index: int) -> List[Fr]:
+        evals = self._m.sum_of_products_round_evals_d_jit(
+            self.tables, self._coeffs, self._idxs, self.degree + 1
+        )
+        return self._m.unpack_fr(evals)
+
+    def bind(self, challenge: Fr) -> None:
+        import jax.numpy as jnp
+
+        r = jnp.asarray(self._m.pack_fr_scalar(challenge))
+        self.tables = [self._m.fold_jit(t, r) for t in self.tables]
+
+    def final_evaluation(self, challenges: Sequence[Fr]) -> Fr:
+        finals = [int(self._m.unpack_fr(t)[0]) for t in self.tables]
+        coeff_vals = [int(self._m.unpack_fr(c)[0]) for c in self._coeffs]
+        total = 0
+        for coeff, idxs in zip(coeff_vals, self._idxs):
+            prod = coeff
+            for f in idxs:
+                prod = prod * finals[f] % _P
+            total += prod
+        return Fr(total % _P)
+
+
 class SumCheckD:
     """Sum-check at an explicit round degree (evaluations at 0..degree)."""
 

@@ -141,6 +141,57 @@ def sum_of_products_round_evals(
     return jnp.concatenate(sums, axis=1)  # (L, 4)
 
 
+def sum_of_products_round_evals_d(
+    tables: Sequence[jnp.ndarray],
+    coeffs: Sequence[jnp.ndarray],
+    term_idxs: Tuple[Tuple[int, ...], ...],
+    npts: int,
+) -> jnp.ndarray:
+    """[g(0..npts-1)] for a GENERIC-DEGREE sum of products -> (22, npts).
+
+    The TPU oracle behind the bit-column protocols (tnsh.protocols.
+    twist_bits): identical structure to ``sum_of_products_round_evals``
+    but with ``npts`` X-points per pair (round degree npts-1), extended
+    incrementally (v_{x+1} = v_x + d costs one add)."""
+    vals = []
+    for t in tables:
+        lo = t[:, 0::2]
+        hi = t[:, 1::2]
+        d = fr.sub(hi, lo)
+        xs = [lo, hi]
+        cur = hi
+        for _ in range(npts - 2):
+            cur = fr.add(cur, d)
+            xs.append(cur)
+        vals.append(jnp.concatenate(xs, axis=1))  # (L, npts*half)
+    acc = None
+    for coeff, idxs in zip(coeffs, term_idxs):
+        prods = vals[idxs[0]]
+        for f in idxs[1:]:
+            prods = fr.mont_mul(prods, vals[f])
+        prods = fr.mont_mul(jnp.broadcast_to(coeff, prods.shape), prods)
+        acc = prods if acc is None else fr.add(acc, prods)
+    half = acc.shape[1] // npts
+    sums = [sum_tree(acc[:, k * half:(k + 1) * half]) for k in range(npts)]
+    return jnp.concatenate(sums, axis=1)  # (L, npts)
+
+
+_sop_round_evals_d_jit_xla = jax.jit(
+    sum_of_products_round_evals_d, static_argnums=(2, 3)
+)
+
+
+def sum_of_products_round_evals_d_jit(tables, coeffs, term_idxs,
+                                      npts) -> jnp.ndarray:
+    from ..field import fr_pallas
+
+    if fr_pallas.enabled() and fr_pallas.can_round(tables[0].shape[1]):
+        return fr_pallas.sum_of_products_round_evals(
+            tables, coeffs, term_idxs, npts
+        )
+    return _sop_round_evals_d_jit_xla(tables, coeffs, term_idxs, npts)
+
+
 # jitted wrappers (shapes cached by XLA)
 _fold_jit_xla = jax.jit(fold)
 sum_tree_jit = jax.jit(sum_tree)

@@ -140,6 +140,24 @@ def _chi_scalar(r_ki: int, b: int) -> int:
     return ((1 - r_ki) * ((1 - b) % _P) + r_ki * (b % _P)) % _P
 
 
+#: Hypercubes with at least this many variables run the sum-checks on the
+#: device oracle (JaxSopOracleD: fused generic-degree rounds, Pallas on
+#: TPU); smaller ones use the pure-Python DenseSopOracleD.  Identical
+#: proofs either way (exact arithmetic; tested).
+_JAX_MIN_VARS = 12
+
+
+def _make_oracle(num_vars: int, terms, degree: int):
+    import os
+
+    if (num_vars >= _JAX_MIN_VARS
+            and os.environ.get("TNSH_NO_JAX", "") == ""):
+        from ..iop.sumcheck_d import JaxSopOracleD
+
+        return JaxSopOracleD(num_vars, terms, degree=degree)
+    return DenseSopOracleD(num_vars, terms, degree=degree)
+
+
 class TwistBits:
     """Trapdoor-free verifier-enforced Twist (bit-column commitments)."""
 
@@ -223,7 +241,7 @@ class TwistBits:
             w = a_pow[2 + i] * kinv % _P
             terms.append((w, [eqb_l, col, col]))
             terms.append((_P - w, [eqb_l, col]))
-        oracle_a = DenseSopOracleD(n, terms, degree=degree)
+        oracle_a = _make_oracle(n, terms, degree)
         check_a, r = SumCheckD(n, Fr(0), degree).prove_with_challenges(
             oracle_a, transcript
         )
@@ -236,10 +254,8 @@ class TwistBits:
         chi_w_cols = [
             _chi_col(wb[i], int(r_k[i])) for i in range(log_k)
         ]
-        oracle_b = DenseSopOracleD(
-            log_t,
-            [(1, [lt_col, ot, ic] + chi_w_cols)],
-            degree=degree,
+        oracle_b = _make_oracle(
+            log_t, [(1, [lt_col, ot, ic] + chi_w_cols)], degree
         )
         check_b, s = SumCheckD(
             log_t, v_val, degree
@@ -447,7 +463,7 @@ class ShoutBits:
             w = a_pow[1 + i] * kinv % _P
             terms.append((w, [eqb_l, col, col]))
             terms.append((_P - w, [eqb_l, col]))
-        oracle = DenseSopOracleD(n, terms, degree=degree)
+        oracle = _make_oracle(n, terms, degree)
         check, r = SumCheckD(n, Fr(0), degree).prove_with_challenges(
             oracle, transcript
         )
