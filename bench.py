@@ -127,7 +127,10 @@ def main() -> None:
         out = subprocess.run(
             [sys.executable, "-c", probe],
             capture_output=True,
-            timeout=420,
+            # the chain kernel compiles in ~3 s, but the axon tunnel has
+            # been observed to stall trivial roundtrips for minutes while
+            # draining a server-side compile backlog — ride it out
+            timeout=900,
             text=True,
         )
         line = (out.stdout or "").strip().splitlines()

@@ -97,7 +97,34 @@ def main() -> None:
     # rejection (col_values = [ot, rv, wv] at the sum-check point)
     tsp.col_values[1] = tsp.col_values[1] + Fr(1)
     print(f"  tampered sound proof rejected: {not TwistSound.verify(tsp, verifier_params)}")
+
+    print("\nPart 6: trapdoor-free bit-column protocols (tnsh extension)")
+    # All commitments are T-point columns, so a ceremony SRS with only
+    # log T variables covers everything — no cube SRS, no trapdoor
+    # anywhere (SOUNDNESS.md).
+    from tnsh import ShoutBits, TwistBits
+
+    tbp = TwistBits.prove(strace_fresh(), prover_params)
+    print(f"  TwistBits proof valid: {TwistBits.verify(tbp, verifier_params)}")
+    sbp = ShoutBits.prove(stable, prover_params)
+    ok = ShoutBits.verify(sbp, stable.entries, verifier_params)
+    print(f"  ShoutBits proof valid: {ok}")
+    tbp.v_val = tbp.v_val + Fr(1)
+    print(
+        f"  tampered Val claim rejected: "
+        f"{not TwistBits.verify(tbp, verifier_params)}"
+    )
     print("\nDemo complete.")
+
+
+def strace_fresh() -> "MemoryTrace":
+    from tnsh import Fr, MemoryTrace
+
+    tr = MemoryTrace(8)
+    tr.write(1, Fr(42))
+    tr.write(1, Fr(100))
+    tr.read(1)
+    return tr
 
 
 if __name__ == "__main__":
