@@ -949,8 +949,29 @@ class ScheduledMsmContext:
             jnp.asarray(plan.canon_mask), jnp.asarray(plan.rc_per_chunk),
         )
 
+        # Fetch from a background thread STARTING NOW: the axon runtime
+        # defers device execution until a fetch arrives (round-4 finding
+        # 19 — "overlapped" host+TPU work otherwise serializes), and the
+        # fetch releases the GIL, so host work between dispatch and
+        # finish() genuinely overlaps device execution + transport.
+        import threading
+
+        holder: dict = {}
+
+        def _prefetch():
+            try:
+                holder["arr"] = np.asarray(out)
+            except Exception as exc:  # surfaced at finish()
+                holder["err"] = exc
+
+        th = threading.Thread(target=_prefetch, daemon=True)
+        th.start()
+
         def finish() -> G1:
-            arr = np.asarray(out)  # ONE tunnel fetch for the whole result
+            th.join()
+            if "err" in holder:
+                raise holder["err"]
+            arr = holder["arr"]  # ONE tunnel fetch for the whole result
             w = (arr.shape[1] - 1) // 3
             hz_v = int(arr[0, -1])
             if hz_v:
