@@ -157,3 +157,19 @@ def test_error_handling():
     table = LookupTable([Fr(1), Fr(1)])
     with pytest.raises(InvalidParametersError):
         table.lookup(2)
+
+
+def test_cli_sound_and_bits_modes(capsys):
+    """The tnsh-extension CLI modes prove+verify and exit 0; bad modes
+    still exit 1 (reference validation rules untouched)."""
+    from tnsh.bench.cli import main
+
+    rc = main(["sound", "--min-log-size", "3", "--max-log-size", "3",
+               "--operations", "8"])
+    out = capsys.readouterr().out
+    assert rc == 0 and out.count("True") >= 2 and "False" not in out
+    rc = main(["bits", "--min-log-size", "3", "--max-log-size", "3",
+               "--operations", "8"])
+    out = capsys.readouterr().out
+    assert rc == 0 and out.count("True") >= 2 and "False" not in out
+    assert main(["no-such-mode"]) == 1

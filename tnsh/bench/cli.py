@@ -27,6 +27,8 @@ MODES:
     custom      Custom benchmark with explicit options
     twist-only  Benchmark only the Twist protocol
     shout-only  Benchmark only the Shout protocol
+    sound       Verifier-enforced TwistSound/ShoutSound (tnsh extension)
+    bits        Trapdoor-free TwistBits/ShoutBits (tnsh extension)
     help        Show this help text
 
 OPTIONS:
@@ -87,11 +89,66 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif mode == "shout-only":
         results = ProtocolBenchmarks.benchmark_shout_scaling_range(min_log, max_log)
         ProtocolBenchmarks.print_scaling_results("Shout", results)
+    elif mode in ("sound", "bits"):
+        _run_sound_modes(mode, min_log, max_log, operations)
     else:
         print(f"error: unknown mode '{mode}'\n")
         print(_HELP)
         return 1
     return 0
+
+
+def _run_sound_modes(mode: str, min_log: int, max_log: int,
+                     operations: int) -> None:
+    """Time the tnsh sound-protocol tiers (no reference analogue):
+    ``sound`` = TwistSound/ShoutSound (PST-bound, sparse-capable),
+    ``bits`` = TwistBits/ShoutBits (trapdoor-free bit columns)."""
+    import random
+    import time
+
+    from ..core.params import setup_params
+    from ..field.fr import Fr
+    from ..protocols.shout import LookupTable
+    from ..protocols.twist import MemoryTrace
+
+    if mode == "bits":
+        from ..protocols.twist_bits import ShoutBits as SP, TwistBits as TP
+        tier = "trapdoor-free bit-column"
+    else:
+        from ..protocols.sound import ShoutSound as SP, TwistSound as TP
+        tier = "verifier-enforced sound"
+
+    print(f"\n=== {tier} protocols "
+          f"(K=2^{min_log}..2^{max_log}, {operations} ops) ===")
+    print("Protocol | log K | Prove (ms) | Verify (ms) | Valid")
+    print("---------|-------|------------|-------------|------")
+    pp, vp = setup_params(max(max_log, 3))
+    for log in range(min_log, max_log + 1):
+        k = 1 << log
+        random.seed(log)
+        tr = MemoryTrace(k)
+        for i in range(operations):
+            if i % 3 == 0:
+                tr.write(random.randrange(k), Fr(42 * i + 1))
+            else:
+                tr.read(random.randrange(k))
+        t0 = time.perf_counter()
+        proof = TP.prove(tr, pp)
+        t1 = time.perf_counter()
+        ok = TP.verify(proof, vp)
+        t2 = time.perf_counter()
+        print(f"Twist    | {log:5d} | {1e3 * (t1 - t0):10.2f} "
+              f"| {1e3 * (t2 - t1):11.2f} | {ok}")
+        table = LookupTable([Fr(i * i + 1) for i in range(k)])
+        for _ in range(operations):
+            table.lookup(random.randrange(k))
+        t0 = time.perf_counter()
+        sproof = SP.prove(table, pp)
+        t1 = time.perf_counter()
+        ok = SP.verify(sproof, table.entries, vp)
+        t2 = time.perf_counter()
+        print(f"Shout    | {log:5d} | {1e3 * (t1 - t0):10.2f} "
+              f"| {1e3 * (t2 - t1):11.2f} | {ok}")
 
 
 if __name__ == "__main__":
