@@ -197,6 +197,37 @@ class TestShoutBits:
         assert not ShoutBits.verify(sproof, wrong, vp)
 
 
+def test_wire_v3_golden_digests(proof, params):
+    """Freeze the v3 wire bytes: any change to the transcript labels,
+    challenge schedule, term order, or serialization layout shows up
+    here.  Deliberate protocol changes must re-freeze (and bump the wire
+    version)."""
+    import hashlib
+
+    from tnsh.core.proof_io import (
+        shout_bits_proof_to_bytes,
+        twist_bits_proof_to_bytes,
+    )
+    from tnsh.protocols.shout import LookupTable
+    from tnsh.protocols.twist_bits import ShoutBits
+
+    b = twist_bits_proof_to_bytes(proof)
+    assert (len(b), hashlib.sha256(b).hexdigest()) == (
+        4856,
+        "948e0609dd4a33266972f0cce3e6dc2d8ae8a10b38d448f70ab2cbc1322cffed",
+    )
+    pp, _ = params
+    random.seed(99)
+    t = LookupTable([Fr(i * i + 3) for i in range(1 << LOG_K)])
+    for _ in range(1 << LOG_T):
+        t.lookup(random.randrange(1 << LOG_K))
+    b2 = shout_bits_proof_to_bytes(ShoutBits.prove(t, pp))
+    assert (len(b2), hashlib.sha256(b2).hexdigest()) == (
+        2344,
+        "689c1c848809eb688a42f4301a0b269b48d77dbfa0900123cf1679017b1a9dca",
+    )
+
+
 def test_jax_oracle_identical_proofs():
     """JaxSopOracleD (device generic-degree rounds) must produce
     bit-identical proofs to the pure-Python DenseSopOracleD."""
