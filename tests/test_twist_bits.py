@@ -301,6 +301,80 @@ def test_jax_oracle_twist_shaped_rounds_match():
     assert int(o_py.final_evaluation([])) == int(o_jx.final_evaluation([]))
 
 
+def test_shout_bits_sparse_oracle_identical_proofs():
+    """The structured O(T logK) oracle (no cube ever built) must produce
+    bit-identical sum-check proofs to the dense generic-degree oracle on
+    the exact ShoutBits phase-A term system."""
+    from tnsh.core.transcript import Transcript
+    from tnsh.iop.bits_oracle import ShoutBitsSparseOracle
+    from tnsh.iop.sumcheck_d import DenseSopOracleD, SumCheckD
+    from tnsh.poly.eq import eq_table
+    from tnsh.protocols.sound import _kinv, _lift_j
+    from tnsh.protocols.twist_bits import _chi_cube
+
+    random.seed(777)
+    log_k, log_t = 4, 6
+    k_size, t_size = 1 << log_k, 1 << log_t
+    n = log_k + log_t
+    entries = [random.randrange(MODULUS) for _ in range(k_size)]
+    rb = [[random.randrange(2) for _ in range(t_size)]
+          for _ in range(log_k)]
+    rv = [random.randrange(MODULUS) for _ in range(t_size)]
+    rho1 = [Fr(random.randrange(MODULUS)) for _ in range(log_t)]
+    rhob = [Fr(random.randrange(MODULUS)) for _ in range(log_t)]
+    a = random.randrange(MODULUS)
+    kinv = _kinv(log_k)
+    eq1 = eq_table(rho1)
+    eqb = eq_table(rhob)
+    degree = log_k + 2
+
+    # dense construction (as TwistBits/ShoutBits.prove does today)
+    eq1_l = _lift_j(eq1, k_size)
+    eqb_l = _lift_j(eqb, k_size)
+    rv_l = _lift_j(rv, k_size)
+    tab_l = list(entries) * t_size
+    chi_r = [_chi_cube(rb[i], k_size, i) for i in range(log_k)]
+    rb_l = [_lift_j(c, k_size) for c in rb]
+    dense_terms = [
+        (1, [eq1_l] + chi_r + [tab_l]),
+        (MODULUS - kinv, [eq1_l, rv_l]),
+    ]
+    sparse_terms = [
+        (1, [eq1], rb, entries),
+        (MODULUS - kinv, [eq1, rv], None, None),
+    ]
+    w = a
+    for i in range(log_k):
+        dense_terms.append((w * kinv % MODULUS, [eqb_l, rb_l[i], rb_l[i]]))
+        dense_terms.append(
+            ((MODULUS - w) * kinv % MODULUS, [eqb_l, rb_l[i]])
+        )
+        sparse_terms.append(
+            (w * kinv % MODULUS, [eqb, rb[i], rb[i]], None, None)
+        )
+        sparse_terms.append(
+            ((MODULUS - w) * kinv % MODULUS, [eqb, rb[i]], None, None)
+        )
+        w = w * a % MODULUS
+
+    claim = DenseSopOracleD(n, dense_terms, degree=degree).hypercube_sum()
+    seed = bytes([21]) * 32
+    p_dense, r1 = SumCheckD(n, claim, degree).prove_with_challenges(
+        DenseSopOracleD(n, dense_terms, degree=degree), Transcript(seed)
+    )
+    p_sparse, r2 = SumCheckD(n, claim, degree).prove_with_challenges(
+        ShoutBitsSparseOracle(log_k, log_t, sparse_terms, degree),
+        Transcript(seed),
+    )
+    assert [[int(c) for c in rp] for rp in p_dense.round_polynomials] == [
+        [int(c) for c in rp] for rp in p_sparse.round_polynomials
+    ]
+    assert int(p_dense.final_evaluation) == int(p_sparse.final_evaluation)
+    assert [int(x) for x in r1] == [int(x) for x in r2]
+    ok, _ = SumCheckD(n, claim, degree).verify(p_sparse, Transcript(seed))
+    assert ok
+
+
 def test_generic_degree_sumcheck_engine():
     """SumCheckD round-trips an explicit high-degree sum of products."""
     from tnsh.core.transcript import Transcript

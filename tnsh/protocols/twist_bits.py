@@ -444,26 +444,49 @@ class ShoutBits:
         _shout_bind_statement(transcript, log_k, log_t, entries, comms)
         rho1, rhob, alpha = _shout_challenges(transcript, log_k, log_t)
 
+        import os
+
         a_pow = _alpha_powers(alpha, 1 + log_k)
         kinv = _kinv(log_k)
         n = log_k + log_t
-        eq1_l = _lift_j(eq_table(rho1), k_size)
-        eqb_l = _lift_j(eq_table(rhob), k_size)
-        rv_l = _lift_j(rv, k_size)
-        tab_l = list(entries) * t_size  # k-lift
-        chi_r = [_chi_cube(rb[i], k_size, i) for i in range(log_k)]
-        rb_l = [_lift_j(c, k_size) for c in rb]
-
+        eq1 = eq_table(rho1)
+        eqb = eq_table(rhob)
         degree = log_k + 2
-        terms = [
-            (1, [eq1_l] + chi_r + [tab_l]),
-            (_P - kinv, [eq1_l, rv_l]),
-        ]
-        for i, col in enumerate(rb_l):
-            w = a_pow[1 + i] * kinv % _P
-            terms.append((w, [eqb_l, col, col]))
-            terms.append((_P - w, [eqb_l, col]))
-        oracle = _make_oracle(n, terms, degree)
+        if os.environ.get("TNSH_BITS_DENSE"):
+            # dense cube construction (cross-check / reference path)
+            eq1_l = _lift_j(eq1, k_size)
+            eqb_l = _lift_j(eqb, k_size)
+            rv_l = _lift_j(rv, k_size)
+            tab_l = list(entries) * t_size  # k-lift
+            chi_r = [_chi_cube(rb[i], k_size, i) for i in range(log_k)]
+            rb_l = [_lift_j(c, k_size) for c in rb]
+            terms = [
+                (1, [eq1_l] + chi_r + [tab_l]),
+                (_P - kinv, [eq1_l, rv_l]),
+            ]
+            for i, col in enumerate(rb_l):
+                w = a_pow[1 + i] * kinv % _P
+                terms.append((w, [eqb_l, col, col]))
+                terms.append((_P - w, [eqb_l, col]))
+            oracle = _make_oracle(n, terms, degree)
+        else:
+            # structured O(T logK) oracle: no cube is ever built
+            # (bit-identical proofs; tests pin the equality)
+            from ..iop.bits_oracle import ShoutBitsSparseOracle
+
+            sparse_terms = [
+                (1, [eq1], rb, entries),
+                (_P - kinv, [eq1, rv], None, None),
+            ]
+            for i in range(log_k):
+                w = a_pow[1 + i] * kinv % _P
+                sparse_terms.append((w, [eqb, rb[i], rb[i]], None, None))
+                sparse_terms.append(
+                    (_P - w, [eqb, rb[i]], None, None)
+                )
+            oracle = ShoutBitsSparseOracle(
+                log_k, log_t, sparse_terms, degree
+            )
         check, r = SumCheckD(n, Fr(0), degree).prove_with_challenges(
             oracle, transcript
         )
