@@ -131,21 +131,25 @@ def _fold_call(half: int, interpret: bool):
     nblk = half // BLOCK
 
     def kern(lo_ref, hi_ref, r_ref, p_ref, p2_ref, one_ref, out_ref):
+        # r arrives pre-broadcast at full block width: Mosaic rejects
+        # in-kernel (L, 1) -> (L, BLOCK) broadcasts ("Broadcast in both
+        # sublanes and lanes"), which interpret-mode tests never see
         fr = _kernel_ops(p_ref, p2_ref, one_ref)
         lo = lo_ref[:]
         hi = hi_ref[:]
         d = fr.sub(hi, lo)
-        r = jnp.broadcast_to(r_ref[:, :1], d.shape)
-        out_ref[:] = fr.add(lo, fr.mont_mul(r, d))
+        out_ref[:] = fr.add(lo, fr.mont_mul(r_ref[:], d))
 
     blk = pl.BlockSpec((L, BLOCK), lambda s: (0, s),
                        memory_space=pltpu.VMEM)
+    rblk = pl.BlockSpec((L, BLOCK), lambda s: (0, 0),
+                        memory_space=pltpu.VMEM)
     cst = pl.BlockSpec((L, RED), lambda s: (0, 0),
                        memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kern,
         grid=(nblk,),
-        in_specs=[blk, blk, cst, cst, cst, cst],
+        in_specs=[blk, blk, rblk, cst, cst, cst],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((L, half), jnp.int32),
         compiler_params=pltpu.CompilerParams(
@@ -158,8 +162,8 @@ def _fold_call(half: int, interpret: bool):
     def fold(table, r):
         lo = table[:, 0::2]
         hi = table[:, 1::2]
-        r128 = jnp.broadcast_to(r, (L, RED))
-        return call(lo, hi, r128, p_b, p2_b, one_b)
+        r_full = jnp.broadcast_to(r, (L, BLOCK))
+        return call(lo, hi, r_full, p_b, p2_b, one_b)
 
     return fold
 
@@ -277,7 +281,18 @@ def product_round_evals(tables, scale=None):
 def _sop_evals_call(num_tables: int, term_idxs, half: int, interpret: bool,
                     npts: int = 4):
     jax, jnp, pl, pltpu = _get()
-    nblk = half // BLOCK
+    # Generic-degree kernels hold npts X-point values per table in VMEM;
+    # Mosaic's measured live set is ~6.3x (tables x npts x L x lanes x
+    # 4 B) — 101.47 MB at 9 tables x npts 10 x 2048 lanes.  Halve the
+    # block until the calibrated estimate fits the 100 MB scoped limit;
+    # the (half % block) divisibility guarantee survives because blocks
+    # only shrink by powers of two.
+    blk_lanes = BLOCK
+    while blk_lanes > RED and (
+        num_tables * npts * L * blk_lanes * 4 * 7 > 90 * 2**20
+    ):
+        blk_lanes //= 2
+    nblk = half // blk_lanes
     num_terms = len(term_idxs)
 
     def kern(*refs):
@@ -299,19 +314,19 @@ def _sop_evals_call(num_tables: int, term_idxs, half: int, interpret: bool,
             for f in range(num_tables)
         ]
         for x in range(npts):
-            tot = None
+            sl = slice(x * RED, (x + 1) * RED)
             for t, idxs in enumerate(term_idxs):
                 prods = vals[idxs[0]][x]
                 for f in idxs[1:]:
                     prods = fr.mont_mul(prods, vals[f][x])
-                c = jnp.broadcast_to(coeffs[t][:, :1], prods.shape)
-                prods = fr.mont_mul(c, prods)
-                tot = prods if tot is None else fr.add(tot, prods)
-            part = _tree_to_red(fr, tot)
-            sl = slice(x * RED, (x + 1) * RED)
-            acc_ref[:, sl] = fr.add(acc_ref[:, sl], part)
+                # coeff applied AFTER the in-block reduction, at the
+                # coeff ref's own (L, RED) width: Mosaic rejects the
+                # (L, 1) -> (L, BLOCK) broadcast ("Broadcast in both
+                # sublanes and lanes"); distributivity keeps this exact
+                part = fr.mont_mul(coeffs[t][:], _tree_to_red(fr, prods))
+                acc_ref[:, sl] = fr.add(acc_ref[:, sl], part)
 
-    blk = pl.BlockSpec((L, BLOCK), lambda s: (0, s),
+    blk = pl.BlockSpec((L, blk_lanes), lambda s: (0, s),
                        memory_space=pltpu.VMEM)
     cst = pl.BlockSpec((L, RED), lambda s: (0, 0),
                        memory_space=pltpu.VMEM)
@@ -324,7 +339,7 @@ def _sop_evals_call(num_tables: int, term_idxs, half: int, interpret: bool,
         out_specs=acc,
         out_shape=jax.ShapeDtypeStruct((L, npts * RED), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20),
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )
     p_b, p2_b, one_b = _consts()

@@ -48,6 +48,224 @@ def _chi(x: int, b: int) -> int:
     return (x if b else (1 - x)) % _P
 
 
+class TwistBitsSparseOracle:
+    """Structured oracle for the FULL TwistBits phase-A term system,
+    including the virtual-Val pair terms, at O(T + K) per k round.
+
+    The Val insight (SOUNDNESS.md plan): V(k, j) = Σ_{j'<j} ic(j') ·
+    eq(k, wb(j')) — a prefix sum of write one-hots.  A term like
+    READ = eq1(j)·rt(j)·eq(k, rb(j))·V(k, j) therefore sums, per cycle
+    j, over earlier writes whose remaining wb-suffix matches the read's
+    rb-suffix (the product of the two one-hots over the free k bits is
+    the suffix-match indicator).  One ascending-j walk per round
+    maintains suffix buckets B[s][b] = Σ ic(j')·A^w_{j'} over earlier
+    writes with remaining suffix s and current bit b, giving
+
+      V-part(X, s) = (1-X)·B[s][0] + X·B[s][1]
+
+    in O(1) per cycle.  eq(sigma,(k,j)) factorizes as
+    eq(sigma_k, k)·eq(sigma_j, j), so the INC terms are one-hot terms
+    with k_table = eq(sigma_k) (folded normally).
+
+    Constructor takes the protocol columns and challenge tables and
+    mirrors ``TwistBits.prove``'s dense term list exactly; proofs are
+    bit-identical (tests pin this, plus the frozen wire-v3 digests).
+    """
+
+    def __init__(self, log_k: int, log_t: int, *, rb, wb, ot, rv, wv, ic,
+                 eq1, eqs_k, eqs_j, eqb, alpha_powers, kinv, degree: int):
+        self.log_k = log_k
+        self.log_t = log_t
+        self.num_vars = log_k + log_t
+        self.degree = degree
+        self._round = 0
+        self._delegate = None
+        self._challenges: List[Fr] = []
+        t_size = 1 << log_t
+        as_int = lambda tab: [int(v) % _P for v in tab]
+        self._ot = as_int(ot)
+        self._rv = as_int(rv)
+        self._wv = as_int(wv)
+        self._ic = as_int(ic)
+        self._eq1 = as_int(eq1)
+        self._eqsj = as_int(eqs_j)
+        self._eqb = as_int(eqb)
+        self._eqsk = as_int(eqs_k)  # folded during k rounds
+        self._rb = rb
+        self._wb = wb
+        self._r_addr = [0] * t_size
+        self._w_addr = [0] * t_size
+        for i in range(log_k):
+            for j in range(t_size):
+                self._r_addr[j] |= (int(rb[i][j]) & 1) << i
+                self._w_addr[j] |= (int(wb[i][j]) & 1) << i
+        self._Ar = [1] * t_size
+        self._Aw = [1] * t_size
+        self._ap = [int(a) % _P for a in alpha_powers]
+        self._kinv = int(kinv) % _P
+
+    def _k_round_evals(self) -> List[Fr]:
+        npts = self.degree + 1
+        i = self._round
+        free_after = self.log_k - i - 1
+        pow_free = pow(2, free_after, _P)
+        t_size = 1 << self.log_t
+        E = self._eqsk
+        a1 = self._ap[1]
+        acc = [0] * npts
+        xs = range(npts)
+
+        # --- j-lifted column terms (constant in X), one pass -------------
+        s_lift = 0
+        kv = self._kinv
+        for j in range(t_size):
+            e1 = self._eq1[j]
+            s_lift -= kv * e1 % _P * self._rv[j]  # rv term (coeff -kinv)
+            eb = self._eqb[j]
+            cols = [int(self._rb[m][j]) for m in range(self.log_k)] + [
+                int(self._wb[m][j]) for m in range(self.log_k)
+            ] + [self._ot[j]]
+            for m, b in enumerate(cols):
+                w = self._ap[2 + m] * kv % _P * eb % _P
+                s_lift += w * b % _P * b - w * b
+        v_lift = s_lift % _P * pow_free % _P
+        for x in xs:
+            acc[x] += v_lift
+
+        # --- one ascending-j walk: one-hot + V terms ---------------------
+        nb = 1 << (self.log_k - i)  # bucket array size (suffix*2 + bit)
+        B = [0] * nb
+        for j in range(t_size):
+            otj = self._ot[j]
+            # READ: eq1 * rt * onehot(rb) * V    (rt = 1 - ot)
+            w = self._eq1[j] * ((1 - otj) % _P) % _P * self._Ar[j] % _P
+            if w:
+                ra = self._r_addr[j]
+                b = ra & 1
+                s2 = (ra >> 1) << 1
+                b0, b1 = B[s2], B[s2 + 1]
+                for x in xs:
+                    vp = ((1 - x) * b0 + x * b1) % _P
+                    if vp:
+                        acc[x] += w * _chi(x, b) % _P * vp
+            if otj:
+                wa = self._w_addr[j]
+                b = wa & 1
+                s2 = (wa >> 1) << 1
+                base = self._eqsj[j] * otj % _P * self._Aw[j] % _P
+                if base:
+                    # k_table partial: E folded over bound bits, indexed
+                    # by the remaining write suffix, current bit at X
+                    s = wa >> 1
+                    et0 = E[2 * s]
+                    edt = (E[2 * s + 1] - et0) % _P
+                    b0, b1 = B[s2], B[s2 + 1]
+                    ic_wv = (self._ic[j] - self._wv[j]) % _P
+                    for x in xs:
+                        ek = (et0 + x * edt) % _P
+                        cx = _chi(x, b)
+                        if not cx:
+                            continue
+                        head = a1 * base % _P * cx % _P * ek % _P
+                        # INC terms a/b: + ic - wv
+                        acc[x] += head * ic_wv
+                        # INC term c: + V
+                        vp = ((1 - x) * b0 + x * b1) % _P
+                        if vp:
+                            acc[x] += head * vp
+                # bucket insert AFTER this cycle's own contributions
+                B[(wa >> 1) * 2 + (wa & 1)] = (
+                    B[(wa >> 1) * 2 + (wa & 1)]
+                    + self._ic[j] * self._Aw[j]
+                ) % _P
+        return [Fr(v % _P) for v in acc]
+
+    def _k_bind(self, challenge: Fr) -> None:
+        r = int(challenge)
+        om = (1 - r) % _P
+        t_size = 1 << self.log_t
+        for j in range(t_size):
+            ra, wa = self._r_addr[j], self._w_addr[j]
+            self._Ar[j] = self._Ar[j] * (r if ra & 1 else om) % _P
+            self._Aw[j] = self._Aw[j] * (r if wa & 1 else om) % _P
+            self._r_addr[j] = ra >> 1
+            self._w_addr[j] = wa >> 1
+        E = self._eqsk
+        half = len(E) // 2
+        self._eqsk = [
+            (E[2 * m] + r * (E[2 * m + 1] - E[2 * m])) % _P
+            for m in range(half)
+        ]
+
+    def _build_delegate(self) -> None:
+        r_k = [int(c) for c in self._challenges]
+        t_size = 1 << self.log_t
+        chi_r_cols = []
+        chi_w_cols = []
+        for m in range(self.log_k):
+            rm = r_k[m]
+            om = (1 - rm) % _P
+            chi_r_cols.append([
+                (rm if int(b) else om) for b in self._rb[m]
+            ])
+            chi_w_cols.append([
+                (rm if int(b) else om) for b in self._wb[m]
+            ])
+        # V~(r_k, j): prefix sums of ic * A^w (A^w == prod chi_w cols now)
+        Vj = [0] * t_size
+        cur = 0
+        for j in range(t_size):
+            Vj[j] = cur
+            if self._ot[j]:
+                cur = (cur + self._ic[j] * self._Aw[j]) % _P
+        rt = [(1 - o) % _P for o in self._ot]
+        eqsk_r = self._eqsk[0]  # fully folded: eq(sigma_k)~(r_k)
+        a1 = self._ap[1]
+        kv = self._kinv
+        terms = [
+            (1, [self._eq1, rt] + chi_r_cols + [Vj]),
+            (_P - kv, [self._eq1, self._rv]),
+            (a1 * eqsk_r % _P,
+             [self._eqsj, self._ot] + chi_w_cols + [self._ic]),
+            ((_P - a1) * eqsk_r % _P,
+             [self._eqsj, self._ot] + chi_w_cols + [self._wv]),
+            (a1 * eqsk_r % _P,
+             [self._eqsj, self._ot] + chi_w_cols + [Vj]),
+        ]
+        bool_cols = (
+            [[int(b) for b in self._rb[m]] for m in range(self.log_k)]
+            + [[int(b) for b in self._wb[m]] for m in range(self.log_k)]
+            + [self._ot]
+        )
+        for m, col in enumerate(bool_cols):
+            w = self._ap[2 + m] * kv % _P
+            terms.append((w, [self._eqb, col, col]))
+            terms.append((_P - w, [self._eqb, col]))
+        from .sumcheck_d import DenseSopOracleD
+
+        self._delegate = DenseSopOracleD(
+            self.log_t, terms, degree=self.degree
+        )
+
+    def round_evaluations(self, round_index: int) -> List[Fr]:
+        if self._round < self.log_k:
+            return self._k_round_evals()
+        return self._delegate.round_evaluations(round_index - self.log_k)
+
+    def bind(self, challenge: Fr) -> None:
+        if self._round < self.log_k:
+            self._k_bind(challenge)
+            self._challenges.append(challenge)
+            if self._round == self.log_k - 1:
+                self._build_delegate()
+        else:
+            self._delegate.bind(challenge)
+        self._round += 1
+
+    def final_evaluation(self, challenges: Sequence[Fr]) -> Fr:
+        return self._delegate.final_evaluation(challenges[self.log_k:])
+
+
 class ShoutBitsSparseOracle:
     """Structured oracle for single-one-hot bit-column term systems.
 

@@ -143,14 +143,18 @@ def _chi_scalar(r_ki: int, b: int) -> int:
 #: Hypercubes with at least this many variables run the sum-checks on the
 #: device oracle (JaxSopOracleD: fused generic-degree rounds, Pallas on
 #: TPU); smaller ones use the pure-Python DenseSopOracleD.  Identical
-#: proofs either way (exact arithmetic; tested).
-_JAX_MIN_VARS = 12
+#: proofs either way (exact arithmetic; tested).  Default 16: every
+#: round is a fresh jit shape, and per-shape compiles over the axon
+#: tunnel (30-120 s XLA, minutes Mosaic) only amortize for long-lived
+#: provers or genuinely large tables — tune with TNSH_BITS_JAX_MIN.
+_JAX_MIN_VARS = 16
 
 
 def _make_oracle(num_vars: int, terms, degree: int):
     import os
 
-    if (num_vars >= _JAX_MIN_VARS
+    min_vars = int(os.environ.get("TNSH_BITS_JAX_MIN", _JAX_MIN_VARS))
+    if (num_vars >= min_vars
             and os.environ.get("TNSH_NO_JAX", "") == ""):
         from ..iop.sumcheck_d import JaxSopOracleD
 
@@ -164,6 +168,8 @@ class TwistBits:
     @staticmethod
     def prove(trace: MemoryTrace, prover_params: ProverParams
               ) -> TwistBitsProof:
+        import os
+
         k_size = trace.memory_size
         log_k = k_size.bit_length() - 1
         if (1 << log_k) != k_size or log_k < 1:
@@ -171,6 +177,7 @@ class TwistBits:
         ops = list(trace.operations)
         t_size = _next_power_of_two(max(len(ops), 1))
         log_t = t_size.bit_length() - 1
+        dense = bool(os.environ.get("TNSH_BITS_DENSE"))
 
         # --- committed columns by honest simulation ----------------------
         rb = [[0] * t_size for _ in range(log_k)]
@@ -180,12 +187,14 @@ class TwistBits:
         wv = [0] * t_size
         ic = [0] * t_size
         mem = [0] * k_size
-        # virtual tables (prover-side only)
-        V = [0] * (k_size * t_size)
+        # the virtual Val cube is only materialized on the dense
+        # cross-check path; the structured oracle never builds it
+        V = [0] * (k_size * t_size) if dense else None
         cur = [0] * k_size
         for j in range(t_size):
-            for k in range(k_size):
-                V[j * k_size + k] = cur[k]
+            if dense:
+                for k in range(k_size):
+                    V[j * k_size + k] = cur[k]
             if j < len(ops):
                 op = ops[j]
                 a = op.address
@@ -217,43 +226,71 @@ class TwistBits:
         a_pow = _alpha_powers(alpha, 2 + 2 * log_k + 1)
         kinv = _kinv(log_k)
         n = log_k + log_t
-        eq1_l = _lift_j(eq_table(rho1), k_size)
-        eqs = eq_table(sigma)
-        eqb_l = _lift_j(eq_table(rhob), k_size)
-        rt_l = _lift_j([(1 - o) % _P for o in ot], k_size)
-        ot_l = _lift_j(ot, k_size)
-        rv_l = _lift_j(rv, k_size)
-        wv_l = _lift_j(wv, k_size)
-        ic_l = _lift_j(ic, k_size)
-        chi_r = [_chi_cube(rb[i], k_size, i) for i in range(log_k)]
-        chi_w = [_chi_cube(wb[i], k_size, i) for i in range(log_k)]
-        bool_l = [_lift_j(c, k_size) for c in rb + wb] + [ot_l]
-
+        eq1 = eq_table(rho1)
+        eqb = eq_table(rhob)
         degree = log_k + 3
-        terms = [
-            (1, [eq1_l, rt_l] + chi_r + [V]),
-            (_P - kinv, [eq1_l, rv_l]),
-            (a_pow[1], [eqs, ot_l] + chi_w + [ic_l]),
-            (_P - a_pow[1], [eqs, ot_l] + chi_w + [wv_l]),
-            (a_pow[1], [eqs, ot_l] + chi_w + [V]),
-        ]
-        for i, col in enumerate(bool_l):
-            w = a_pow[2 + i] * kinv % _P
-            terms.append((w, [eqb_l, col, col]))
-            terms.append((_P - w, [eqb_l, col]))
-        oracle_a = _make_oracle(n, terms, degree)
+        if dense:
+            # dense cube construction (cross-check / reference path)
+            eq1_l = _lift_j(eq1, k_size)
+            eqs = eq_table(sigma)
+            eqb_l = _lift_j(eqb, k_size)
+            rt_l = _lift_j([(1 - o) % _P for o in ot], k_size)
+            ot_l = _lift_j(ot, k_size)
+            rv_l = _lift_j(rv, k_size)
+            wv_l = _lift_j(wv, k_size)
+            ic_l = _lift_j(ic, k_size)
+            chi_r = [_chi_cube(rb[i], k_size, i) for i in range(log_k)]
+            chi_w = [_chi_cube(wb[i], k_size, i) for i in range(log_k)]
+            bool_l = [_lift_j(c, k_size) for c in rb + wb] + [ot_l]
+            terms = [
+                (1, [eq1_l, rt_l] + chi_r + [V]),
+                (_P - kinv, [eq1_l, rv_l]),
+                (a_pow[1], [eqs, ot_l] + chi_w + [ic_l]),
+                (_P - a_pow[1], [eqs, ot_l] + chi_w + [wv_l]),
+                (a_pow[1], [eqs, ot_l] + chi_w + [V]),
+            ]
+            for i, col in enumerate(bool_l):
+                w = a_pow[2 + i] * kinv % _P
+                terms.append((w, [eqb_l, col, col]))
+                terms.append((_P - w, [eqb_l, col]))
+            oracle_a = _make_oracle(n, terms, degree)
+        else:
+            # structured O(T + K)-per-k-round oracle: no cube is ever
+            # built (bit-identical proofs; tests + wire-v3 digests pin it)
+            from ..iop.bits_oracle import TwistBitsSparseOracle
+
+            oracle_a = TwistBitsSparseOracle(
+                log_k, log_t, rb=rb, wb=wb, ot=ot, rv=rv, wv=wv, ic=ic,
+                eq1=eq1, eqs_k=eq_table(sigma[:log_k]),
+                eqs_j=eq_table(sigma[log_k:]), eqb=eqb,
+                alpha_powers=a_pow, kinv=kinv, degree=degree,
+            )
         check_a, r = SumCheckD(n, Fr(0), degree).prove_with_challenges(
             oracle_a, transcript
         )
         r_k, r_j = r[:log_k], r[log_k:]
 
         # --- phase B: Val-evaluation sum-check over j' -------------------
-        v_val = _mle_eval(V, r)
-        transcript.append_field_element(b"tbits_v_val", v_val)
         lt_col = lt_partial_table(log_t, r_j)
         chi_w_cols = [
             _chi_col(wb[i], int(r_k[i])) for i in range(log_k)
         ]
+        if dense:
+            v_val = _mle_eval(V, r)
+        else:
+            # V~(r) = Σ_j lt~(j, r_j) · ot ic Π chi(r_k, wb(j)) — the
+            # multilinear identity phase B proves, evaluated directly
+            # (exact; no Val cube needed)
+            acc = 0
+            for j in range(t_size):
+                if not ot[j]:
+                    continue
+                term = int(lt_col[j]) * ic[j] % _P
+                for i in range(log_k):
+                    term = term * chi_w_cols[i][j] % _P
+                acc += term
+            v_val = Fr(acc % _P)
+        transcript.append_field_element(b"tbits_v_val", v_val)
         oracle_b = _make_oracle(
             log_t, [(1, [lt_col, ot, ic] + chi_w_cols)], degree
         )
