@@ -328,7 +328,8 @@ def test_shout_bits_sparse_oracle_identical_proofs():
     eqb = eq_table(rhob)
     degree = log_k + 2
 
-    # dense construction (as TwistBits/ShoutBits.prove does today)
+    # dense cube construction (the TNSH_BITS_DENSE cross-check path;
+    # the DEFAULT prover uses the structured oracles)
     eq1_l = _lift_j(eq1, k_size)
     eqb_l = _lift_j(eqb, k_size)
     rv_l = _lift_j(rv, k_size)
@@ -403,3 +404,195 @@ def test_generic_degree_sumcheck_engine():
         proof, Transcript(seed)
     )
     assert not ok
+
+
+def _trace_from_ops(k, ops):
+    tr = MemoryTrace(k)
+    for kind, addr, val in ops:
+        if kind == "w":
+            tr.write(addr, Fr(val))
+        else:
+            tr.read(addr)
+    return tr
+
+
+def _adversarial_traces():
+    """Shape matrix for the structured-oracle identity + edge tests:
+    write-only, read-only, overwrite-heavy, K=2, T=1 (log_t=0), empty
+    trace, duplicate-heavy addresses, at-power-of-two op counts."""
+    random.seed(4242)
+    shapes = []
+    k = 1 << LOG_K
+    shapes.append(("write_only", k, [("w", i % k, 7 + i) for i in range(16)]))
+    shapes.append(("read_only", k, [("r", i % k, 0) for i in range(16)]))
+    shapes.append((
+        "overwrite_heavy", k,
+        [("w", 3, 100 + i) for i in range(12)] + [("r", 3, 0)] * 4,
+    ))
+    shapes.append(("k2_mixed", 2, [
+        ("w", 0, 5), ("r", 0, 0), ("w", 1, 9), ("r", 1, 0),
+        ("w", 0, 11), ("r", 0, 0), ("r", 1, 0), ("w", 1, 13),
+    ]))
+    shapes.append(("single_write", k, [("w", 2, 77)]))
+    shapes.append(("single_read", k, [("r", 0, 0)]))
+    shapes.append(("empty", k, []))
+    shapes.append((
+        "dup_heavy", k,
+        [("w" if i % 2 else "r", (i * i) % 2, 50 + i) for i in range(32)],
+    ))
+    mixed = []
+    for i in range(64):
+        if random.random() < 0.4:
+            mixed.append(("w", random.randrange(k),
+                          random.randrange(1 << 40)))
+        else:
+            mixed.append(("r", random.randrange(k), 0))
+    shapes.append(("mixed_64", k, mixed))
+    return shapes
+
+
+@pytest.mark.parametrize(
+    "name,k,ops", _adversarial_traces(), ids=[s[0] for s in _adversarial_traces()]
+)
+def test_twist_bits_structured_equals_dense(name, k, ops, params,
+                                            monkeypatch):
+    """Direct dense == structured-Python == structured-native bit-identity
+    for the TwistBits prover (VERDICT r4 task 3 + the edge-shape matrix of
+    task 8): the structured O(T logK) oracle (tnsh.iop.bits_oracle.
+    TwistBitsSparseOracle) and its native twin (tnsh_native.cpp tbk_*)
+    must reproduce the dense cube oracle's proof BYTES on every shape —
+    including T=1 (log_t = 0) and K=2."""
+    import hashlib
+
+    from tnsh.core.proof_io import twist_bits_proof_to_bytes
+
+    pp, vp = params
+    tr = _trace_from_ops(k, ops)
+    digests = {}
+    for label, env in (
+        ("dense", {"TNSH_BITS_DENSE": "1"}),
+        ("structured_py", {"TNSH_NO_NATIVE": "1"}),
+        ("structured_native", {}),
+    ):
+        for var in ("TNSH_BITS_DENSE", "TNSH_NO_NATIVE"):
+            monkeypatch.delenv(var, raising=False)
+        for var, val in env.items():
+            monkeypatch.setenv(var, val)
+        proof = TwistBits.prove(_trace_from_ops(k, ops), pp)
+        assert TwistBits.verify(proof, vp), (name, label)
+        digests[label] = hashlib.sha256(
+            twist_bits_proof_to_bytes(proof)
+        ).hexdigest()
+    assert digests["dense"] == digests["structured_py"], name
+    assert digests["dense"] == digests["structured_native"], name
+
+
+@pytest.mark.parametrize("nk,nt", [(1, 0), (1, 3), (3, 0), (4, 2)])
+def test_shout_bits_edge_shapes(nk, nt, params, monkeypatch):
+    """ShoutBits on edge shapes (K=2, single/empty lookup logs): dense ==
+    structured-Python == structured-native proof bytes, verifying."""
+    import hashlib
+
+    from tnsh.core.proof_io import shout_bits_proof_to_bytes
+    from tnsh.protocols.shout import LookupTable
+    from tnsh.protocols.twist_bits import ShoutBits
+
+    pp, vp = params
+    random.seed(9000 + nk * 10 + nt)
+    k = 1 << nk
+    looks = [random.randrange(k) for _ in range(max((1 << nt) - 1, 0))]
+
+    def make_table():
+        t = LookupTable([Fr(3 * i + 1) for i in range(k)])
+        for ix in looks:
+            t.lookup(ix)
+        return t
+
+    digests = {}
+    for label, env in (
+        ("dense", {"TNSH_BITS_DENSE": "1"}),
+        ("structured_py", {"TNSH_NO_NATIVE": "1"}),
+        ("structured_native", {}),
+    ):
+        for var in ("TNSH_BITS_DENSE", "TNSH_NO_NATIVE"):
+            monkeypatch.delenv(var, raising=False)
+        for var, val in env.items():
+            monkeypatch.setenv(var, val)
+        table = make_table()
+        proof = ShoutBits.prove(table, pp)
+        assert ShoutBits.verify(proof, table.entries, vp), label
+        digests[label] = hashlib.sha256(
+            shout_bits_proof_to_bytes(proof)
+        ).hexdigest()
+    assert len(set(digests.values())) == 1, digests
+
+
+def test_native_sopd_oracle_identical_proofs():
+    """NativeSopOracleD (C++ generic-degree rounds) must produce
+    bit-identical proofs to the pure-Python DenseSopOracleD."""
+    import tnsh._native as _native
+
+    if not _native.available:
+        pytest.skip("native library unavailable")
+    from tnsh.core.transcript import Transcript
+    from tnsh.iop.sumcheck_d import (
+        DenseSopOracleD,
+        NativeSopOracleD,
+        SumCheckD,
+    )
+
+    random.seed(58)
+    n = 7
+    size = 1 << n
+    t1 = [random.randrange(MODULUS) for _ in range(size)]
+    t2 = [random.randrange(2) for _ in range(size)]
+    t3 = [random.randrange(MODULUS) for _ in range(size)]
+    terms = [(3, [t1, t2, t3, t1, t2]), (MODULUS - 5, [t2, t3]),
+             (7, [t1])]
+    claim = DenseSopOracleD(n, terms).hypercube_sum()
+    seed = bytes([14]) * 32
+    degree = 5
+    p_host, _ = SumCheckD(n, claim, degree).prove_with_challenges(
+        DenseSopOracleD(n, terms, degree=degree), Transcript(seed)
+    )
+    p_nat, _ = SumCheckD(n, claim, degree).prove_with_challenges(
+        NativeSopOracleD(n, terms, degree=degree), Transcript(seed)
+    )
+    assert [[int(c) for c in rp] for rp in p_host.round_polynomials] == [
+        [int(c) for c in rp] for rp in p_nat.round_polynomials
+    ]
+    assert int(p_host.final_evaluation) == int(p_nat.final_evaluation)
+    ok, _ = SumCheckD(n, claim, degree).verify(p_nat, Transcript(seed))
+    assert ok
+
+
+def test_batched_column_helpers_match_python():
+    """fr_rlc / fr_mle_eval_many (native batched column helpers) equal the
+    pure-Python _rlc_tables / _mle_eval on random columns."""
+    import tnsh._native as _native
+
+    if not _native.available:
+        pytest.skip("native library unavailable")
+    from tnsh.protocols.sound import _mle_eval
+
+    random.seed(31)
+    n = 11  # >= native threshold of 1024 entries
+    size = 1 << n
+    cols = [[random.randrange(MODULUS) for _ in range(size)]
+            for _ in range(5)]
+    gamma = random.randrange(MODULUS)
+    rlc_native = _native.fr_rlc(cols, gamma)
+    w, expect = 1, [0] * size
+    for tab in cols:
+        for i, v in enumerate(tab):
+            expect[i] = (expect[i] + w * v) % MODULUS
+        w = w * gamma % MODULUS
+    got = [
+        int.from_bytes(rlc_native[32 * i:32 * i + 32], "little")
+        for i in range(size)
+    ]
+    assert got == expect
+    point = [Fr(random.randrange(MODULUS)) for _ in range(n)]
+    evals = _native.fr_mle_eval_many(cols, point)
+    for col, e in zip(cols, evals):
+        assert int(e) == int(_mle_eval(col, point))

@@ -118,6 +118,38 @@ def _load() -> None:
         ("sop_final", [ctypes.c_int, c_u8p], None),
         ("sop_free", [ctypes.c_int], None),
         (
+            "sopd_create",
+            [c_u8p, ctypes.c_size_t, ctypes.c_size_t,
+             ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t, c_u8p,
+             ctypes.c_int],
+            ctypes.c_int,
+        ),
+        (
+            "tbk_create",
+            [ctypes.c_int, ctypes.c_int,
+             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+             c_u8p, c_u8p, c_u8p, c_u8p, c_u8p, c_u8p, c_u8p, c_u8p, c_u8p,
+             c_u8p, ctypes.c_size_t, c_u8p, ctypes.c_int],
+            ctypes.c_int,
+        ),
+        ("tbk_round_evals", [ctypes.c_int, c_u8p], None),
+        ("tbk_bind", [ctypes.c_int, c_u8p], None),
+        ("tbk_make_sopd", [ctypes.c_int], ctypes.c_int),
+        ("tbk_phase_b", [ctypes.c_int, c_u8p, c_u8p], ctypes.c_int),
+        ("tbk_free", [ctypes.c_int], None),
+        (
+            "sbk_create",
+            [ctypes.c_int, ctypes.c_int, c_u8p, ctypes.c_size_t,
+             ctypes.POINTER(ctypes.c_uint64), ctypes.c_size_t,
+             c_u8p, ctypes.c_size_t, c_u8p,
+             ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t, ctypes.c_int],
+            ctypes.c_int,
+        ),
+        ("sbk_round_evals", [ctypes.c_int, c_u8p], None),
+        ("sbk_bind", [ctypes.c_int, c_u8p], None),
+        ("sbk_make_sopd", [ctypes.c_int], ctypes.c_int),
+        ("sbk_free", [ctypes.c_int], None),
+        (
             "sco_create",
             [ctypes.c_int, ctypes.c_int, c_u8p, ctypes.c_size_t,
              c_u8p, ctypes.c_size_t,
@@ -132,6 +164,17 @@ def _load() -> None:
         ("sco_bind", [ctypes.c_int, c_u8p], None),
         ("sco_make_sop", [ctypes.c_int], ctypes.c_int),
         ("sco_free", [ctypes.c_int], None),
+        (
+            "fr_rlc",
+            [c_u8p, ctypes.c_size_t, ctypes.c_size_t, c_u8p, c_u8p],
+            None,
+        ),
+        (
+            "fr_mle_eval_many",
+            [c_u8p, ctypes.c_size_t, ctypes.c_size_t, c_u8p,
+             ctypes.c_size_t, c_u8p],
+            None,
+        ),
         ("fr_eq_table", [c_u8p, ctypes.c_int, c_u8p], None),
         ("fr_lt_table", [c_u8p, ctypes.c_int, c_u8p], None),
         (
@@ -726,3 +769,187 @@ def sco_make_sop(sco_id: int) -> int:
 
 def sco_free(sco_id: int) -> None:
     _lib.sco_free(sco_id)
+
+
+# -- generic-degree sum-of-products oracle -----------------------------------
+
+def sopd_create(tables, terms, npts: int) -> int:
+    """``sop_create`` at an explicit X-point count (round degree + 1).
+
+    Backs the bit-column protocols' j-phase delegates
+    (tnsh.iop.sumcheck_d.NativeSopOracleD)."""
+    size = len(tables[0])
+    blob = b"".join(_fr_vec_bytes(t) for t in tables)
+    spec = []
+    coeffs = b""
+    for coeff, idxs in terms:
+        spec.append(len(idxs))
+        spec.extend(idxs)
+        coeffs += int(coeff).to_bytes(32, "little")
+    spec_arr = (ctypes.c_int32 * len(spec))(*spec)
+    return int(
+        _lib.sopd_create(_buf(blob), len(tables), size, spec_arr,
+                         len(terms), _buf(coeffs), npts)
+    )
+
+
+def sopd_round_evals(sop_id: int, npts: int):
+    from ..field.fr import Fr
+
+    raw, out = _out(npts * 32)
+    _lib.sop_round_evals(sop_id, out)
+    return [
+        Fr(int.from_bytes(raw.raw[32 * i:32 * i + 32], "little"))
+        for i in range(npts)
+    ]
+
+
+# -- bit-column sound protocols: native k-phase oracles ----------------------
+
+def _u64_arr(vals):
+    """numpy uint64 array + ctypes pointer (keep the array alive)."""
+    import numpy as _np
+
+    if isinstance(vals, _np.ndarray) and vals.dtype == _np.uint64:
+        arr = _np.ascontiguousarray(vals)
+    else:
+        arr = _np.asarray(list(vals), dtype=_np.uint64)
+    if arr.size == 0:
+        arr = _np.zeros(1, dtype=_np.uint64)
+    return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def tbk_create(log_k: int, log_t: int, r_addr, w_addr, ot_flags,
+               ot, rv, wv, ic, eq1, eqsj, eqb, eqsk, apow, kinv,
+               npts: int) -> int:
+    """Native TwistBits phase-A k-round state (tnsh.iop.bits_oracle.
+    TwistBitsSparseOracle's fast path)."""
+    ra_np, ra_p = _u64_arr(r_addr)
+    wa_np, wa_p = _u64_arr(w_addr)
+    flags = bytes(bytearray(int(v) & 1 for v in ot_flags))
+    return int(_lib.tbk_create(
+        log_k, log_t, ra_p, wa_p, _buf(flags),
+        _buf(_fr_vec_bytes(ot)), _buf(_fr_vec_bytes(rv)),
+        _buf(_fr_vec_bytes(wv)), _buf(_fr_vec_bytes(ic)),
+        _buf(_fr_vec_bytes(eq1)), _buf(_fr_vec_bytes(eqsj)),
+        _buf(_fr_vec_bytes(eqb)), _buf(_fr_vec_bytes(eqsk)),
+        _buf(_fr_vec_bytes(apow)), len(apow),
+        _buf(int(kinv).to_bytes(32, "little")), npts,
+    ))
+
+
+def tbk_round_evals(tbk_id: int, npts: int):
+    from ..field.fr import Fr
+
+    raw, out = _out(npts * 32)
+    _lib.tbk_round_evals(tbk_id, out)
+    return [
+        Fr(int.from_bytes(raw.raw[32 * i:32 * i + 32], "little"))
+        for i in range(npts)
+    ]
+
+
+def tbk_bind(tbk_id: int, r) -> None:
+    _lib.tbk_bind(tbk_id, _buf(int(r).to_bytes(32, "little")))
+
+
+def tbk_make_sopd(tbk_id: int) -> int:
+    """Build the phase-A j-delegate (generic-degree sop handle) natively."""
+    return int(_lib.tbk_make_sopd(tbk_id))
+
+
+def tbk_phase_b(tbk_id: int, lt_col):
+    """(v_val, sop handle) for the phase-B Val-evaluation sum-check."""
+    from ..field.fr import Fr
+
+    raw, out = _out(32)
+    handle = int(_lib.tbk_phase_b(
+        tbk_id, _buf(_fr_vec_bytes(lt_col)), out
+    ))
+    return Fr(int.from_bytes(raw.raw, "little")), handle
+
+
+def tbk_free(tbk_id: int) -> None:
+    _lib.tbk_free(tbk_id)
+
+
+def sbk_create(log_k: int, log_t: int, j_tables, addr_tables, k_tables,
+               terms, npts: int) -> int:
+    """Native ShoutBits k-phase state.
+
+    ``terms``: ``(coeff, jt_idx_list, addr_idx_or_None, kt_idx_or_None)``.
+    """
+    t_size = 1 << log_t
+    jt_blob = b"".join(_fr_vec_bytes(t) for t in j_tables)
+    addr_flat = []
+    for a in addr_tables:
+        addr_flat.extend(int(v) for v in a)
+    ad_np, ad_p = _u64_arr(addr_flat)
+    kt_blob = b"".join(_fr_vec_bytes(t) for t in k_tables)
+    spec = []
+    coeffs = b""
+    for coeff, jt_idx, a_idx, k_idx in terms:
+        spec.append(len(jt_idx))
+        spec.extend(jt_idx)
+        spec.append(-1 if a_idx is None else a_idx)
+        spec.append(-1 if k_idx is None else k_idx)
+        coeffs += int(coeff).to_bytes(32, "little")
+    spec_arr = (ctypes.c_int32 * len(spec))(*spec)
+    assert all(len(a) == t_size for a in addr_tables)
+    return int(_lib.sbk_create(
+        log_k, log_t, _buf(jt_blob), len(j_tables), ad_p, len(addr_tables),
+        _buf(kt_blob), len(k_tables), _buf(coeffs), spec_arr, len(terms),
+        npts,
+    ))
+
+
+def sbk_round_evals(sbk_id: int, npts: int):
+    from ..field.fr import Fr
+
+    raw, out = _out(npts * 32)
+    _lib.sbk_round_evals(sbk_id, out)
+    return [
+        Fr(int.from_bytes(raw.raw[32 * i:32 * i + 32], "little"))
+        for i in range(npts)
+    ]
+
+
+def sbk_bind(sbk_id: int, r) -> None:
+    _lib.sbk_bind(sbk_id, _buf(int(r).to_bytes(32, "little")))
+
+
+def sbk_make_sopd(sbk_id: int) -> int:
+    return int(_lib.sbk_make_sopd(sbk_id))
+
+
+def sbk_free(sbk_id: int) -> None:
+    _lib.sbk_free(sbk_id)
+
+
+def fr_rlc(tables, gamma) -> bytes:
+    """Raw bytes of ``sum_i gamma^i * tables[i]`` pointwise (the gamma-RLC
+    table for batched PST openings)."""
+    size = len(tables[0])
+    blob = b"".join(_fr_vec_bytes(t) for t in tables)
+    raw, out = _out(32 * size)
+    _lib.fr_rlc(_buf(blob), len(tables), size,
+                _buf(int(gamma).to_bytes(32, "little")), out)
+    return raw.raw
+
+
+def fr_mle_eval_many(tables, point):
+    """[~table(point) for each table] — one native call for a batch of
+    equal-length columns (variable 0 folded first)."""
+    from ..field.fr import Fr
+
+    size = len(tables[0])
+    n_vars = size.bit_length() - 1
+    blob = b"".join(_fr_vec_bytes(t) for t in tables)
+    pt = b"".join(int(p).to_bytes(32, "little") for p in point)
+    raw, out = _out(32 * len(tables))
+    _lib.fr_mle_eval_many(_buf(blob), len(tables), size, _buf(pt),
+                          n_vars, out)
+    return [
+        Fr(int.from_bytes(raw.raw[32 * i:32 * i + 32], "little"))
+        for i in range(len(tables))
+    ]

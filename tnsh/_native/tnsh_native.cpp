@@ -1330,6 +1330,7 @@ struct SopTerm {
 
 struct SopState {
     size_t size;                       // current table length
+    int npts = 4;                      // X-points per round (degree + 1)
     std::vector<std::vector<u64>> tables;  // each 4*size limbs, Montgomery
     std::vector<SopTerm> terms;
 };
@@ -1387,18 +1388,20 @@ int sop_create(const uint8_t *tables, size_t num_tables, size_t size,
     return store_put(g_sop_store, st);
 }
 
-// out: 4 * 32 B — g(0), g(1), g(2), g(3) in standard form.
+// out: npts * 32 B — g(0..npts-1) in standard form (npts = 4 for handles
+// from sop_create; generic-degree handles from sopd_create set their own).
 void sop_round_evals(int id, uint8_t *out) {
     SopState *st = g_sop_store[id];
     size_t half = st->size / 2;
     size_t nt = st->tables.size();
-    u64 sums[4][4] = {{0}};
+    const int npts = st->npts;
+    std::vector<u64> sums(4 * npts, 0);
 #ifdef _OPENMP
-#pragma omp parallel if (half >= 131072)
+#pragma omp parallel if (half >= 4096)
 #endif
     {
-        u64 local[4][4] = {{0}};
-        std::vector<u64> vals(nt * 16);  // per table: 4 X-points x 4 limbs
+        std::vector<u64> local(4 * npts, 0);
+        std::vector<u64> vals(nt * 4 * npts);  // per table: npts X-points
 #ifdef _OPENMP
 #pragma omp for schedule(static) nowait
 #endif
@@ -1406,36 +1409,48 @@ void sop_round_evals(int id, uint8_t *out) {
             for (size_t t = 0; t < nt; t++) {
                 const u64 *lo = &st->tables[t][8 * s];
                 const u64 *hi = lo + 4;
-                u64 *v = &vals[16 * t];
+                u64 *v = &vals[4 * npts * t];
                 memcpy(&v[0], lo, 32);
-                memcpy(&v[4], hi, 32);
+                if (npts > 1) memcpy(&v[4], hi, 32);
                 u64 d[4];
                 sub_mod(d, hi, lo, FR);
-                add_mod(&v[8], hi, d, FR);
-                add_mod(&v[12], &v[8], d, FR);
+                for (int x = 2; x < npts; x++)
+                    add_mod(&v[4 * x], &v[4 * (x - 1)], d, FR);
             }
-            for (int x = 0; x < 4; x++) {
+            for (int x = 0; x < npts; x++) {
                 u64 acc[4] = {0, 0, 0, 0};
                 for (const SopTerm &term : st->terms) {
                     u64 prod[4];
                     memcpy(prod, term.coeff, 32);
                     for (int f : term.factors)
-                        mmul(prod, prod, &vals[16 * f + 4 * x], FR);
+                        mmul(prod, prod, &vals[4 * (npts * f + x)], FR);
                     add_mod(acc, acc, prod, FR);
                 }
-                add_mod(local[x], local[x], acc, FR);
+                add_mod(&local[4 * x], &local[4 * x], acc, FR);
             }
         }
 #ifdef _OPENMP
 #pragma omp critical
 #endif
-        for (int x = 0; x < 4; x++) add_mod(sums[x], sums[x], local[x], FR);
+        for (int x = 0; x < npts; x++)
+            add_mod(&sums[4 * x], &sums[4 * x], &local[4 * x], FR);
     }
-    for (int x = 0; x < 4; x++) {
+    for (int x = 0; x < npts; x++) {
         u64 s[4];
-        from_mont(s, sums[x], FR);
+        from_mont(s, &sums[4 * x], FR);
         limbs_to_bytes(out + 32 * x, s);
     }
+}
+
+// Generic-degree twin of sop_create: same table/term encoding, explicit
+// X-point count (npts = round degree + 1).  Backs the bit-column sound
+// protocols' j-phase delegates (tnsh.iop.sumcheck_d.DenseSopOracleD).
+int sopd_create(const uint8_t *tables, size_t num_tables, size_t size,
+                const int32_t *spec, size_t num_terms,
+                const uint8_t *coeffs, int npts) {
+    int id = sop_create(tables, num_tables, size, spec, num_terms, coeffs);
+    g_sop_store[id]->npts = npts;
+    return id;
 }
 
 void sop_bind(int id, const uint8_t *r_bytes) {
@@ -1449,7 +1464,7 @@ void sop_bind(int id, const uint8_t *r_bytes) {
         // OpenMP (iteration i writes limbs other threads still read).
         std::vector<u64> out(4 * half);
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static) if (half >= 131072)
+#pragma omp parallel for schedule(static) if (half >= 16384)
 #endif
         for (size_t i = 0; i < half; i++) {
             u64 d[4], m[4];
@@ -3292,6 +3307,800 @@ void fs_challenge(const uint8_t *state, size_t len, uint8_t *out) {
     u64 std_form[4];
     from_mont(std_form, limbs, FR);  // Montgomery repr -> u * R^{-1} mod r
     limbs_to_bytes(out, std_form);
+}
+
+}  // extern "C"
+
+// ---- bit-column sound protocols: native k-phase oracles ----
+//
+// Backs tnsh.iop.bits_oracle's structured O(T logK) oracles (TwistBits /
+// ShoutBits, tnsh/protocols/twist_bits.py).  The k rounds walk the T cycle
+// columns once per round with suffix-bucket lookups (Twist's virtual Val)
+// or folded k-table lookups (Shout's public table); after the last k bind
+// the j-phase delegate is built natively as a generic-degree sop handle —
+// no T-sized table ever round-trips through Python.  Bit-identical to the
+// pure-Python oracles (exact field arithmetic, order-independent sums).
+
+struct TbkState {
+    int log_k, log_t, npts, round;
+    size_t t_size;
+    std::vector<u64> r_addr, w_addr;    // remaining address suffixes
+    std::vector<u64> r_addr0, w_addr0;  // original addresses (delegate)
+    std::vector<u64> Ar, Aw;            // 4*t, running chi products (Mont)
+    std::vector<u64> ot, rv, wv, ic;    // 4*t each, Montgomery
+    std::vector<u64> eq1, eqsj, eqb;    // 4*t each, Montgomery
+    std::vector<uint8_t> ot_b;          // write flags (0/1)
+    std::vector<u64> eqsk;              // folded eq(sigma_k) table (Mont)
+    std::vector<u64> apow;              // alpha powers (Mont), >= 2+2logk+1
+    u64 kinv[4];                        // 1/K (Mont)
+    std::vector<u64> chal_r, chal_om;   // 4 limbs per bound k challenge
+};
+
+static std::vector<TbkState *> g_tbk_store;
+
+static void tbk_frvec(std::vector<u64> &dst, const uint8_t *src, size_t n) {
+    dst.resize(4 * n);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n >= 65536)
+#endif
+    for (long long i = 0; i < (long long)n; i++) {
+        u64 raw[4];
+        bytes_to_limbs(raw, src + 32 * i);
+        to_mont(&dst[4 * i], raw, FR);
+    }
+}
+
+// Montgomery small-int helpers: mont(x) and mont((1 - x) mod p) for the
+// X-point grid 0..npts-1, and mont(2^e).
+static void tbk_xgrid(int npts, std::vector<u64> &xm, std::vector<u64> &cxm) {
+    xm.assign(4 * npts, 0);
+    cxm.assign(4 * npts, 0);
+    u64 cur[4] = {0, 0, 0, 0};
+    for (int x = 0; x < npts; x++) {
+        memcpy(&xm[4 * x], cur, 32);
+        u64 c[4];
+        sub_mod(c, FR.one, cur, FR);  // 1 - x
+        memcpy(&cxm[4 * x], c, 32);
+        add_mod(cur, cur, FR.one, FR);
+    }
+}
+
+static void tbk_pow2(u64 out[4], int e) {
+    memcpy(out, FR.one, 32);
+    for (int i = 0; i < e; i++) add_mod(out, out, out, FR);
+}
+
+extern "C" {
+
+// addr arrays: t_size u64 each; ot_flags: t_size bytes; field columns
+// (ot, rv, wv, ic, eq1, eqsj, eqb): t_size * 32 B standard form; eqsk:
+// 2^log_k * 32 B; apow: n_apow * 32 B; kinv: 32 B.
+int tbk_create(int log_k, int log_t, const uint64_t *r_addr,
+               const uint64_t *w_addr, const uint8_t *ot_flags,
+               const uint8_t *ot_col, const uint8_t *rv_col,
+               const uint8_t *wv_col, const uint8_t *ic_col,
+               const uint8_t *eq1_col, const uint8_t *eqsj_col,
+               const uint8_t *eqb_col, const uint8_t *eqsk_tab,
+               const uint8_t *apow, size_t n_apow, const uint8_t *kinv,
+               int npts) {
+    TbkState *st = new TbkState();
+    st->log_k = log_k;
+    st->log_t = log_t;
+    st->npts = npts;
+    st->round = 0;
+    st->t_size = (size_t)1 << log_t;
+    size_t t = st->t_size;
+    st->r_addr.assign(r_addr, r_addr + t);
+    st->w_addr.assign(w_addr, w_addr + t);
+    st->r_addr0 = st->r_addr;
+    st->w_addr0 = st->w_addr;
+    st->ot_b.assign(ot_flags, ot_flags + t);
+    st->Ar.resize(4 * t);
+    st->Aw.resize(4 * t);
+    for (size_t j = 0; j < t; j++) {
+        memcpy(&st->Ar[4 * j], FR.one, 32);
+        memcpy(&st->Aw[4 * j], FR.one, 32);
+    }
+    tbk_frvec(st->ot, ot_col, t);
+    tbk_frvec(st->rv, rv_col, t);
+    tbk_frvec(st->wv, wv_col, t);
+    tbk_frvec(st->ic, ic_col, t);
+    tbk_frvec(st->eq1, eq1_col, t);
+    tbk_frvec(st->eqsj, eqsj_col, t);
+    tbk_frvec(st->eqb, eqb_col, t);
+    tbk_frvec(st->eqsk, eqsk_tab, (size_t)1 << log_k);
+    tbk_frvec(st->apow, apow, n_apow);
+    u64 raw[4];
+    bytes_to_limbs(raw, kinv);
+    to_mont(st->kinv, raw, FR);
+    return store_put(g_tbk_store, st);
+}
+
+// out: npts * 32 B — phase-A round evaluations for k round st->round.
+// Mirrors TwistBitsSparseOracle._k_round_evals: the boolean-check lift
+// terms are identically zero for boolean columns (b^2 - b = 0) and the
+// Python loop adds exactly 0 for them, so only the rv lift term remains.
+void tbk_round_evals(int id, uint8_t *out) {
+    TbkState *st = g_tbk_store[id];
+    const int npts = st->npts;
+    const int i = st->round;
+    const size_t t = st->t_size;
+    std::vector<u64> xm, cxm;
+    tbk_xgrid(npts, xm, cxm);
+    u64 pow_free[4];
+    tbk_pow2(pow_free, st->log_k - i - 1);
+    const u64 *a1 = &st->apow[4];
+
+    // rv lift term: -kinv * sum_j eq1[j] * rv[j], times 2^free
+    u64 lift[4] = {0, 0, 0, 0};
+#ifdef _OPENMP
+#pragma omp parallel if (t >= 16384)
+#endif
+    {
+        u64 local[4] = {0, 0, 0, 0};
+#ifdef _OPENMP
+#pragma omp for schedule(static) nowait
+#endif
+        for (long long j = 0; j < (long long)t; j++) {
+            u64 v[4];
+            mmul(v, &st->eq1[4 * j], &st->rv[4 * j], FR);
+            add_mod(local, local, v, FR);
+        }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        add_mod(lift, lift, local, FR);
+    }
+    mmul(lift, lift, st->kinv, FR);
+    mmul(lift, lift, pow_free, FR);
+    neg_mod(lift, lift, FR);
+
+    std::vector<u64> acc(4 * npts);
+    for (int x = 0; x < npts; x++) memcpy(&acc[4 * x], lift, 32);
+
+    // one ascending-j walk: suffix buckets B[addr] = sum ic*Aw over
+    // earlier writes with that remaining address.  The bucket state is a
+    // prefix scan, so chunks are parallelized by a cheap insert-only
+    // pre-pass that snapshots B at chunk starts (exact field sums,
+    // order-independent — identical to the sequential walk).
+    size_t nb = (size_t)1 << (st->log_k - i);
+    const u64 *E = st->eqsk.data();
+    int nchunks = 1;
+#ifdef _OPENMP
+    if (t >= 8192) nchunks = omp_get_max_threads();
+#endif
+    if (nchunks > (int)(t / 4096)) nchunks = (int)(t / 4096);
+    if (nchunks < 1) nchunks = 1;
+    std::vector<std::vector<u64>> snap(nchunks);
+    if (nchunks > 1) {
+        std::vector<u64> Bpre(4 * nb, 0);
+        size_t per = (t + nchunks - 1) / nchunks;
+        int c = 0;
+        for (size_t j = 0; j < t; j++) {
+            if (j == per * (size_t)c && c < nchunks) snap[c++] = Bpre;
+            if (st->ot_b[j]) {
+                u64 add[4];
+                mmul(add, &st->ic[4 * j], &st->Aw[4 * j], FR);
+                add_mod(&Bpre[4 * st->w_addr[j]],
+                        &Bpre[4 * st->w_addr[j]], add, FR);
+            }
+        }
+        while (c < nchunks) snap[c++] = Bpre;
+    } else {
+        snap[0].assign(4 * nb, 0);
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static, 1) num_threads(nchunks) \
+    if (nchunks > 1)
+#endif
+    for (int chunk = 0; chunk < nchunks; chunk++) {
+    size_t per = (t + nchunks - 1) / nchunks;
+    size_t j_lo = per * (size_t)chunk;
+    size_t j_hi = j_lo + per < t ? j_lo + per : t;
+    std::vector<u64> B = std::move(snap[chunk]);
+    std::vector<u64> lacc(4 * npts, 0);
+    u64 *accp = nchunks > 1 ? lacc.data() : acc.data();
+    for (size_t j = j_lo; j < j_hi; j++) {
+        // READ: eq1 * (1 - ot) * Ar * chi(X, b) * V-part(X)
+        u64 rt[4], w[4];
+        sub_mod(rt, FR.one, &st->ot[4 * j], FR);
+        mmul(w, &st->eq1[4 * j], rt, FR);
+        mmul(w, w, &st->Ar[4 * j], FR);
+        if (!is_zero4(w)) {
+            u64 ra = st->r_addr[j];
+            int b = (int)(ra & 1);
+            const u64 *b0 = &B[4 * ((ra >> 1) << 1)];
+            const u64 *b1 = &B[4 * (((ra >> 1) << 1) + 1)];
+            u64 d[4];
+            sub_mod(d, b1, b0, FR);
+            for (int x = 0; x < npts; x++) {
+                u64 vp[4], m[4];
+                mmul(vp, &xm[4 * x], d, FR);
+                add_mod(vp, vp, b0, FR);
+                if (is_zero4(vp)) continue;
+                mmul(m, w, b ? &xm[4 * x] : &cxm[4 * x], FR);
+                mmul(m, m, vp, FR);
+                add_mod(&accp[4 * x], &accp[4 * x], m, FR);
+            }
+        }
+        if (st->ot_b[j]) {
+            u64 wa = st->w_addr[j];
+            int b = (int)(wa & 1);
+            u64 base[4];
+            mmul(base, &st->eqsj[4 * j], &st->ot[4 * j], FR);
+            mmul(base, base, &st->Aw[4 * j], FR);
+            if (!is_zero4(base)) {
+                u64 s = wa >> 1;
+                const u64 *et0 = &E[8 * s];
+                u64 edt[4];
+                sub_mod(edt, &E[8 * s + 4], et0, FR);
+                const u64 *b0 = &B[4 * ((wa >> 1) << 1)];
+                const u64 *b1 = &B[4 * (((wa >> 1) << 1) + 1)];
+                u64 bd[4], ic_wv[4], head0[4];
+                sub_mod(bd, b1, b0, FR);
+                sub_mod(ic_wv, &st->ic[4 * j], &st->wv[4 * j], FR);
+                mmul(head0, a1, base, FR);
+                for (int x = 0; x < npts; x++) {
+                    u64 ek[4], head[4], m[4], vp[4];
+                    mmul(ek, &xm[4 * x], edt, FR);
+                    add_mod(ek, ek, et0, FR);
+                    const u64 *cx = b ? &xm[4 * x] : &cxm[4 * x];
+                    if (is_zero4(cx)) continue;
+                    mmul(head, head0, cx, FR);
+                    mmul(head, head, ek, FR);
+                    mmul(m, head, ic_wv, FR);
+                    add_mod(&accp[4 * x], &accp[4 * x], m, FR);
+                    mmul(vp, &xm[4 * x], bd, FR);
+                    add_mod(vp, vp, b0, FR);
+                    if (is_zero4(vp)) continue;
+                    mmul(m, head, vp, FR);
+                    add_mod(&accp[4 * x], &accp[4 * x], m, FR);
+                }
+            }
+            // bucket insert AFTER this cycle's own contributions
+            u64 add[4];
+            mmul(add, &st->ic[4 * j], &st->Aw[4 * j], FR);
+            add_mod(&B[4 * wa], &B[4 * wa], add, FR);
+        }
+    }
+    if (nchunks > 1) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        for (int x = 0; x < npts; x++)
+            add_mod(&acc[4 * x], &acc[4 * x], &lacc[4 * x], FR);
+    }
+    }
+    for (int x = 0; x < npts; x++) {
+        u64 s[4];
+        from_mont(s, &acc[4 * x], FR);
+        limbs_to_bytes(out + 32 * x, s);
+    }
+}
+
+void tbk_bind(int id, const uint8_t *r_bytes) {
+    TbkState *st = g_tbk_store[id];
+    u64 raw[4], r[4], om[4];
+    bytes_to_limbs(raw, r_bytes);
+    to_mont(r, raw, FR);
+    sub_mod(om, FR.one, r, FR);
+    st->chal_r.insert(st->chal_r.end(), r, r + 4);
+    st->chal_om.insert(st->chal_om.end(), om, om + 4);
+    const size_t t = st->t_size;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (t >= 16384)
+#endif
+    for (long long j = 0; j < (long long)t; j++) {
+        u64 ra = st->r_addr[j], wa = st->w_addr[j];
+        mmul(&st->Ar[4 * j], &st->Ar[4 * j], (ra & 1) ? r : om, FR);
+        mmul(&st->Aw[4 * j], &st->Aw[4 * j], (wa & 1) ? r : om, FR);
+        st->r_addr[j] = ra >> 1;
+        st->w_addr[j] = wa >> 1;
+    }
+    size_t half = st->eqsk.size() / 8;
+    std::vector<u64> nxt(4 * half);
+    for (size_t m = 0; m < half; m++) {
+        u64 d[4];
+        sub_mod(d, &st->eqsk[8 * m + 4], &st->eqsk[8 * m], FR);
+        mmul(d, r, d, FR);
+        add_mod(&nxt[4 * m], &st->eqsk[8 * m], d, FR);
+    }
+    st->eqsk.swap(nxt);
+    st->round++;
+}
+
+// chi(r_m, bit_m(j)) column for bound challenge m from an address array.
+static void tbk_chi_col(const TbkState *st, const std::vector<u64> &addr0,
+                        int m, std::vector<u64> &out) {
+    const size_t t = st->t_size;
+    out.resize(4 * t);
+    const u64 *r = &st->chal_r[4 * m];
+    const u64 *om = &st->chal_om[4 * m];
+    for (size_t j = 0; j < t; j++)
+        memcpy(&out[4 * j], ((addr0[j] >> m) & 1) ? r : om, 32);
+}
+
+// Build the phase-A j-delegate natively: the restricted polynomial over j
+// as a generic-degree sop handle (mirrors TwistBitsSparseOracle.
+// _build_delegate's term list exactly — same polynomial, so identical
+// round evaluations).
+int tbk_make_sopd(int id) {
+    TbkState *st = g_tbk_store[id];
+    const size_t t = st->t_size;
+    const int lk = st->log_k;
+    SopState *so = new SopState();
+    so->size = t;
+    so->npts = st->npts;
+    auto add_tab = [&](std::vector<u64> &&v) {
+        so->tables.push_back(std::move(v));
+        return (int)so->tables.size() - 1;
+    };
+    int i_eq1 = add_tab(std::vector<u64>(st->eq1));
+    std::vector<u64> rt(4 * t);
+    for (size_t j = 0; j < t; j++)
+        sub_mod(&rt[4 * j], FR.one, &st->ot[4 * j], FR);
+    int i_rt = add_tab(std::move(rt));
+    std::vector<int> i_chi_r(lk), i_chi_w(lk);
+    for (int m = 0; m < lk; m++) {
+        std::vector<u64> col;
+        tbk_chi_col(st, st->r_addr0, m, col);
+        i_chi_r[m] = add_tab(std::move(col));
+    }
+    for (int m = 0; m < lk; m++) {
+        std::vector<u64> col;
+        tbk_chi_col(st, st->w_addr0, m, col);
+        i_chi_w[m] = add_tab(std::move(col));
+    }
+    // V~(r_k, j): prefix sums of ic * Aw (Aw == prod chi_w cols now)
+    std::vector<u64> Vj(4 * t);
+    u64 cur[4] = {0, 0, 0, 0};
+    for (size_t j = 0; j < t; j++) {
+        memcpy(&Vj[4 * j], cur, 32);
+        if (st->ot_b[j]) {
+            u64 d[4];
+            mmul(d, &st->ic[4 * j], &st->Aw[4 * j], FR);
+            add_mod(cur, cur, d, FR);
+        }
+    }
+    int i_V = add_tab(std::vector<u64>(Vj));
+    int i_rv = add_tab(std::vector<u64>(st->rv));
+    int i_eqsj = add_tab(std::vector<u64>(st->eqsj));
+    int i_ot = add_tab(std::vector<u64>(st->ot));
+    int i_eqb = add_tab(std::vector<u64>(st->eqb));
+    // INC terms a/b/c share the [eqsj, ot, chi_w...] prefix and the a1es
+    // coefficient; MLE is linear, so P*(ic) - P*(wv) + P*(V) == P*(tcomb)
+    // with tcomb = ic - wv + V pointwise — SAME polynomial, identical
+    // round evaluations, one 13-factor term instead of three.
+    std::vector<u64> tcomb(4 * t);
+    for (size_t j = 0; j < t; j++) {
+        u64 v[4];
+        sub_mod(v, &st->ic[4 * j], &st->wv[4 * j], FR);
+        add_mod(&tcomb[4 * j], v, &Vj[4 * j], FR);
+    }
+    int i_tcomb = add_tab(std::move(tcomb));
+    // boolean checks: w*eqb*c*c - w*eqb*c == w*eqb*c*(c-1) — one term per
+    // column over a (c-1) table (again linearity of the MLE).
+    std::vector<int> i_bool, i_bm1;
+    std::vector<u64> otm1(4 * t);
+    for (size_t j = 0; j < t; j++)
+        sub_mod(&otm1[4 * j], &st->ot[4 * j], FR.one, FR);
+    for (int which = 0; which < 2 * lk; which++) {
+        const std::vector<u64> &a0 =
+            which < lk ? st->r_addr0 : st->w_addr0;
+        int m = which < lk ? which : which - lk;
+        std::vector<u64> col(4 * t, 0), cm1(4 * t);
+        u64 negone[4];
+        neg_mod(negone, FR.one, FR);
+        for (size_t j = 0; j < t; j++) {
+            if ((a0[j] >> m) & 1)
+                memcpy(&col[4 * j], FR.one, 32);
+            else
+                memcpy(&cm1[4 * j], negone, 32);
+        }
+        i_bool.push_back(add_tab(std::move(col)));
+        i_bm1.push_back(add_tab(std::move(cm1)));
+    }
+    i_bool.push_back(i_ot);
+    i_bm1.push_back(add_tab(std::move(otm1)));
+
+    u64 eqsk_r[4], a1es[4], neg_kinv[4];
+    memcpy(eqsk_r, &st->eqsk[0], 32);
+    mmul(a1es, &st->apow[4], eqsk_r, FR);
+    neg_mod(neg_kinv, st->kinv, FR);
+    auto add_term = [&](const u64 c[4], std::vector<int> f) {
+        SopTerm tm;
+        memcpy(tm.coeff, c, 32);
+        tm.factors = std::move(f);
+        so->terms.push_back(tm);
+    };
+    {
+        std::vector<int> f = {i_eq1, i_rt};
+        f.insert(f.end(), i_chi_r.begin(), i_chi_r.end());
+        f.push_back(i_V);
+        add_term(FR.one, f);
+    }
+    add_term(neg_kinv, {i_eq1, i_rv});
+    {
+        std::vector<int> f = {i_eqsj, i_ot};
+        f.insert(f.end(), i_chi_w.begin(), i_chi_w.end());
+        f.push_back(i_tcomb);
+        add_term(a1es, f);
+    }
+    for (int m = 0; m < 2 * lk + 1; m++) {
+        u64 w[4];
+        mmul(w, &st->apow[4 * (2 + m)], st->kinv, FR);
+        add_term(w, {i_eqb, i_bool[m], i_bm1[m]});
+    }
+    return store_put(g_sop_store, so);
+}
+
+// Phase B: v_val = sum_j lt(j) * ot(j) * ic(j) * prod_m chi(r_m, wb_m(j))
+// (written to out_v_val, standard form) and the matching single-term sop
+// delegate over j.  lt_col: t_size * 32 B standard form.
+int tbk_phase_b(int id, const uint8_t *lt_col, uint8_t *out_v_val) {
+    TbkState *st = g_tbk_store[id];
+    const size_t t = st->t_size;
+    const int lk = st->log_k;
+    SopState *so = new SopState();
+    so->size = t;
+    so->npts = st->npts;
+    std::vector<u64> lt;
+    tbk_frvec(lt, lt_col, t);
+    so->tables.push_back(std::move(lt));
+    so->tables.push_back(std::vector<u64>(st->ot));
+    so->tables.push_back(std::vector<u64>(st->ic));
+    std::vector<int> f = {0, 1, 2};
+    for (int m = 0; m < lk; m++) {
+        std::vector<u64> col;
+        tbk_chi_col(st, st->w_addr0, m, col);
+        so->tables.push_back(std::move(col));
+        f.push_back(3 + m);
+    }
+    SopTerm tm;
+    memcpy(tm.coeff, FR.one, 32);
+    tm.factors = f;
+    so->terms.push_back(tm);
+    // v_val via the same tables (Aw == prod chi_w after the k binds)
+    u64 acc[4] = {0, 0, 0, 0};
+    for (size_t j = 0; j < t; j++) {
+        if (!st->ot_b[j]) continue;
+        u64 v[4];
+        mmul(v, &so->tables[0][4 * j], &st->ic[4 * j], FR);
+        mmul(v, v, &st->Aw[4 * j], FR);
+        mmul(v, v, &st->ot[4 * j], FR);
+        add_mod(acc, acc, v, FR);
+    }
+    u64 s[4];
+    from_mont(s, acc, FR);
+    limbs_to_bytes(out_v_val, s);
+    return store_put(g_sop_store, so);
+}
+
+void tbk_free(int id) {
+    if (id >= 0 && id < (int)g_tbk_store.size() && g_tbk_store[id]) {
+        delete g_tbk_store[id];
+        g_tbk_store[id] = nullptr;
+    }
+}
+
+}  // extern "C"
+
+// ---- ShoutBits structured k-phase ----
+
+struct SbkTerm {
+    u64 coeff[4];             // Montgomery
+    std::vector<int> jt;      // j-table factor indices
+    int addr_idx;             // -1: j-lifted constant term
+    int kt_idx;               // -1: no k table
+};
+
+struct SbkState {
+    int log_k, log_t, npts, round;
+    size_t t_size;
+    std::vector<std::vector<u64>> jt;       // 4*t each, Montgomery
+    std::vector<std::vector<u64>> addr;     // per addr table: suffixes
+    std::vector<std::vector<u64>> addr0;    // originals (delegate)
+    std::vector<std::vector<u64>> A;        // per addr table: 4*t Mont
+    std::vector<std::vector<u64>> kt;       // folding k tables, Mont
+    std::vector<SbkTerm> terms;
+    std::vector<u64> chal_r, chal_om;
+};
+
+static std::vector<SbkState *> g_sbk_store;
+
+extern "C" {
+
+// jt_blob: n_jt * t_size * 32 B; addrs: n_addr * t_size u64; kt_blob:
+// n_kt * 2^log_k * 32 B; coeffs: n_terms * 32 B; spec per term:
+// [n_f, jt_idx..., addr_idx, kt_idx].
+int sbk_create(int log_k, int log_t, const uint8_t *jt_blob, size_t n_jt,
+               const uint64_t *addrs, size_t n_addr, const uint8_t *kt_blob,
+               size_t n_kt, const uint8_t *coeffs, const int32_t *spec,
+               size_t n_terms, int npts) {
+    SbkState *st = new SbkState();
+    st->log_k = log_k;
+    st->log_t = log_t;
+    st->npts = npts;
+    st->round = 0;
+    st->t_size = (size_t)1 << log_t;
+    size_t t = st->t_size;
+    size_t k = (size_t)1 << log_k;
+    st->jt.resize(n_jt);
+    for (size_t i = 0; i < n_jt; i++)
+        tbk_frvec(st->jt[i], jt_blob + 32 * t * i, t);
+    st->addr.resize(n_addr);
+    st->A.resize(n_addr);
+    for (size_t i = 0; i < n_addr; i++) {
+        st->addr[i].assign(addrs + t * i, addrs + t * (i + 1));
+        st->A[i].resize(4 * t);
+        for (size_t j = 0; j < t; j++)
+            memcpy(&st->A[i][4 * j], FR.one, 32);
+    }
+    st->addr0 = st->addr;
+    st->kt.resize(n_kt);
+    for (size_t i = 0; i < n_kt; i++)
+        tbk_frvec(st->kt[i], kt_blob + 32 * k * i, k);
+    size_t off = 0;
+    for (size_t i = 0; i < n_terms; i++) {
+        SbkTerm tm;
+        u64 raw[4];
+        bytes_to_limbs(raw, coeffs + 32 * i);
+        to_mont(tm.coeff, raw, FR);
+        int nf = spec[off++];
+        for (int f = 0; f < nf; f++) tm.jt.push_back(spec[off++]);
+        tm.addr_idx = spec[off++];
+        tm.kt_idx = spec[off++];
+        st->terms.push_back(tm);
+    }
+    return store_put(g_sbk_store, st);
+}
+
+// out: npts * 32 B.  Mirrors ShoutBitsSparseOracle._k_round_evals.
+void sbk_round_evals(int id, uint8_t *out) {
+    SbkState *st = g_sbk_store[id];
+    const int npts = st->npts;
+    const size_t t = st->t_size;
+    std::vector<u64> xm, cxm;
+    tbk_xgrid(npts, xm, cxm);
+    u64 pow_free[4];
+    tbk_pow2(pow_free, st->log_k - st->round - 1);
+    std::vector<u64> acc(4 * npts, 0);
+    for (const SbkTerm &tm : st->terms) {
+        if (tm.addr_idx < 0) {
+            u64 s[4] = {0, 0, 0, 0};
+#ifdef _OPENMP
+#pragma omp parallel if (t >= 16384)
+#endif
+            {
+                u64 local[4] = {0, 0, 0, 0};
+#ifdef _OPENMP
+#pragma omp for schedule(static) nowait
+#endif
+                for (long long j = 0; j < (long long)t; j++) {
+                    u64 prod[4];
+                    memcpy(prod, tm.coeff, 32);
+                    for (int f : tm.jt)
+                        mmul(prod, prod, &st->jt[f][4 * j], FR);
+                    add_mod(local, local, prod, FR);
+                }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+                add_mod(s, s, local, FR);
+            }
+            mmul(s, s, pow_free, FR);
+            for (int x = 0; x < npts; x++)
+                add_mod(&acc[4 * x], &acc[4 * x], s, FR);
+            continue;
+        }
+        const std::vector<u64> &addr = st->addr[tm.addr_idx];
+        const std::vector<u64> &A = st->A[tm.addr_idx];
+        const u64 *T = tm.kt_idx >= 0 ? st->kt[tm.kt_idx].data() : nullptr;
+        std::vector<u64> local_acc(4 * npts, 0);
+#ifdef _OPENMP
+#pragma omp parallel if (t >= 16384)
+#endif
+        {
+            std::vector<u64> lacc(4 * npts, 0);
+#ifdef _OPENMP
+#pragma omp for schedule(static) nowait
+#endif
+            for (long long j = 0; j < (long long)t; j++) {
+                u64 w[4];
+                mmul(w, tm.coeff, &A[4 * j], FR);
+                for (int f : tm.jt) mmul(w, w, &st->jt[f][4 * j], FR);
+                if (is_zero4(w)) continue;
+                u64 a = addr[j];
+                int b = (int)(a & 1);
+                u64 s_j = a >> 1;
+                u64 t0[4], dt[4];
+                if (T) {
+                    memcpy(t0, &T[8 * s_j], 32);
+                    sub_mod(dt, &T[8 * s_j + 4], t0, FR);
+                } else {
+                    memcpy(t0, FR.one, 32);
+                    memset(dt, 0, 32);
+                }
+                for (int x = 0; x < npts; x++) {
+                    const u64 *cx = b ? &xm[4 * x] : &cxm[4 * x];
+                    if (is_zero4(cx)) continue;
+                    u64 tv[4], m[4];
+                    mmul(tv, &xm[4 * x], dt, FR);
+                    add_mod(tv, tv, t0, FR);
+                    mmul(m, w, cx, FR);
+                    mmul(m, m, tv, FR);
+                    add_mod(&lacc[4 * x], &lacc[4 * x], m, FR);
+                }
+            }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+            for (int x = 0; x < npts; x++)
+                add_mod(&local_acc[4 * x], &local_acc[4 * x],
+                        &lacc[4 * x], FR);
+        }
+        for (int x = 0; x < npts; x++)
+            add_mod(&acc[4 * x], &acc[4 * x], &local_acc[4 * x], FR);
+    }
+    for (int x = 0; x < npts; x++) {
+        u64 s[4];
+        from_mont(s, &acc[4 * x], FR);
+        limbs_to_bytes(out + 32 * x, s);
+    }
+}
+
+void sbk_bind(int id, const uint8_t *r_bytes) {
+    SbkState *st = g_sbk_store[id];
+    u64 raw[4], r[4], om[4];
+    bytes_to_limbs(raw, r_bytes);
+    to_mont(r, raw, FR);
+    sub_mod(om, FR.one, r, FR);
+    st->chal_r.insert(st->chal_r.end(), r, r + 4);
+    st->chal_om.insert(st->chal_om.end(), om, om + 4);
+    const size_t t = st->t_size;
+    for (size_t i = 0; i < st->addr.size(); i++) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (t >= 16384)
+#endif
+        for (long long j = 0; j < (long long)t; j++) {
+            u64 a = st->addr[i][j];
+            mmul(&st->A[i][4 * j], &st->A[i][4 * j], (a & 1) ? r : om, FR);
+            st->addr[i][j] = a >> 1;
+        }
+    }
+    for (auto &T : st->kt) {
+        size_t half = T.size() / 8;
+        std::vector<u64> nxt(4 * half);
+        for (size_t m = 0; m < half; m++) {
+            u64 d[4];
+            sub_mod(d, &T[8 * m + 4], &T[8 * m], FR);
+            mmul(d, r, d, FR);
+            add_mod(&nxt[4 * m], &T[8 * m], d, FR);
+        }
+        T.swap(nxt);
+    }
+    st->round++;
+}
+
+// Build the j-phase delegate natively (mirrors ShoutBitsSparseOracle.
+// _build_delegate): per one-hot term, logK chi columns from the original
+// address bits plus the folded k-table scalar in the coefficient.
+int sbk_make_sopd(int id) {
+    SbkState *st = g_sbk_store[id];
+    const size_t t = st->t_size;
+    const int lk = st->log_k;
+    SopState *so = new SopState();
+    so->size = t;
+    so->npts = st->npts;
+    for (auto &jt : st->jt) so->tables.push_back(std::vector<u64>(jt));
+    // chi columns per (addr table, bit): shared across terms
+    std::vector<std::vector<int>> chi_idx(st->addr0.size());
+    for (size_t a = 0; a < st->addr0.size(); a++) {
+        for (int m = 0; m < lk; m++) {
+            std::vector<u64> col(4 * t);
+            const u64 *r = &st->chal_r[4 * m];
+            const u64 *om = &st->chal_om[4 * m];
+            for (size_t j = 0; j < t; j++)
+                memcpy(&col[4 * j],
+                       ((st->addr0[a][j] >> m) & 1) ? r : om, 32);
+            so->tables.push_back(std::move(col));
+            chi_idx[a].push_back((int)so->tables.size() - 1);
+        }
+    }
+    for (const SbkTerm &tm : st->terms) {
+        SopTerm ot;
+        memcpy(ot.coeff, tm.coeff, 32);
+        ot.factors = tm.jt;
+        if (tm.addr_idx >= 0) {
+            if (tm.kt_idx >= 0)
+                mmul(ot.coeff, ot.coeff, &st->kt[tm.kt_idx][0], FR);
+            ot.factors.insert(ot.factors.end(),
+                              chi_idx[tm.addr_idx].begin(),
+                              chi_idx[tm.addr_idx].end());
+        }
+        so->terms.push_back(ot);
+    }
+    return store_put(g_sop_store, so);
+}
+
+void sbk_free(int id) {
+    if (id >= 0 && id < (int)g_sbk_store.size() && g_sbk_store[id]) {
+        delete g_sbk_store[id];
+        g_sbk_store[id] = nullptr;
+    }
+}
+
+}  // extern "C"
+
+// ---- batched column helpers for the bit-column provers ----
+
+extern "C" {
+
+// out: size * 32 B standard form — sum_i gamma^i * tables[i] pointwise
+// (the gamma-RLC table feeding the batched PST openings,
+// tnsh/protocols/sound.py::_rlc_tables).
+void fr_rlc(const uint8_t *tables, size_t n_tabs, size_t size,
+            const uint8_t *gamma, uint8_t *out) {
+    u64 graw[4], g[4];
+    bytes_to_limbs(graw, gamma);
+    to_mont(g, graw, FR);
+    std::vector<u64> w(4 * n_tabs);
+    memcpy(&w[0], FR.one, 32);
+    for (size_t i = 1; i < n_tabs; i++)
+        mmul(&w[4 * i], &w[4 * (i - 1)], g, FR);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (size >= 4096)
+#endif
+    for (long long j = 0; j < (long long)size; j++) {
+        u64 acc[4] = {0, 0, 0, 0};
+        for (size_t t = 0; t < n_tabs; t++) {
+            u64 raw[4], v[4];
+            bytes_to_limbs(raw, tables + 32 * (t * size + j));
+            to_mont(v, raw, FR);
+            mmul(v, v, &w[4 * t], FR);
+            add_mod(acc, acc, v, FR);
+        }
+        u64 s[4];
+        from_mont(s, acc, FR);
+        limbs_to_bytes(out + 32 * j, s);
+    }
+}
+
+// out: n_tabs * 32 B standard form — multilinear evaluations of each table
+// at ``point`` (variable 0 folded first, matching sound.py::_mle_eval).
+void fr_mle_eval_many(const uint8_t *tables, size_t n_tabs, size_t size,
+                      const uint8_t *point, size_t n_vars, uint8_t *out) {
+    std::vector<u64> pt(4 * n_vars);
+    for (size_t v = 0; v < n_vars; v++) {
+        u64 raw[4];
+        bytes_to_limbs(raw, point + 32 * v);
+        to_mont(&pt[4 * v], raw, FR);
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1) if (n_tabs > 1)
+#endif
+    for (long long t = 0; t < (long long)n_tabs; t++) {
+        std::vector<u64> buf(4 * size);
+        for (size_t i = 0; i < size; i++) {
+            u64 raw[4];
+            bytes_to_limbs(raw, tables + 32 * (t * size + i));
+            to_mont(&buf[4 * i], raw, FR);
+        }
+        size_t cur = size;
+        for (size_t v = 0; v < n_vars && cur > 1; v++) {
+            size_t half = cur / 2;
+            for (size_t i = 0; i < half; i++) {
+                u64 d[4];
+                sub_mod(d, &buf[8 * i + 4], &buf[8 * i], FR);
+                mmul(d, &pt[4 * v], d, FR);
+                add_mod(&buf[4 * i], &buf[8 * i], d, FR);
+            }
+            cur = half;
+        }
+        u64 s[4];
+        from_mont(s, &buf[0], FR);
+        limbs_to_bytes(out + 32 * t, s);
+    }
 }
 
 }  // extern "C"

@@ -285,7 +285,7 @@ class MultilinearKZG:
             if _native.available:
                 # Quotient tables computed natively; bytes feed the MSMs
                 # without per-element Fr round-trips.
-                value, levels = _native.fr_ml_open(list(evaluations), point)
+                value, levels = _native.fr_ml_open(evaluations, point)
                 quotients = [
                     msm(params.basis[offset + i + 1], levels[i])
                     for i in range(n_vars)

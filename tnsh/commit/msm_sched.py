@@ -867,15 +867,21 @@ class ScheduledMsmContext:
             if rates and time.perf_counter() - t_start > budget_s:
                 break
             try:
-                fin = self.msm_async(scalars, engine=eng)
+                info: dict = {}
+                fin = self.msm_async(scalars, engine=eng, out_info=info)
                 if fin is None:
                     continue
                 fin()  # compile + first run
+                hz0 = self.hazard_count
                 t0 = time.perf_counter()
-                fin = self.msm_async(scalars, engine=eng)
+                fin = self.msm_async(scalars, engine=eng, out_info=info)
                 fin()
+                if self.hazard_count > hz0:
+                    # the finisher fell back to the HOST MSM mid-run: the
+                    # measured rate is not this engine's (ADVICE r4 item 2)
+                    continue
                 rates[eng] = n / max(time.perf_counter() - t0, 1e-9)
-                base_key = self._last_base_key
+                base_key = info.get("base_key")
             except Exception:
                 continue  # broken engine loses by forfeit
         if rates and base_key is not None:
@@ -883,7 +889,8 @@ class ScheduledMsmContext:
         return rates
 
     def msm_async(self, scalars, only_if_compiled: bool = False,
-                  engine: Optional[str] = None):
+                  engine: Optional[str] = None,
+                  out_info: Optional[dict] = None):
         """Dispatch the MSM and return a zero-arg finisher.
 
         The device crunches between dispatch and the finisher call, so a
@@ -924,6 +931,10 @@ class ScheduledMsmContext:
         r_c = max(1 << (plan.r_exact - 1).bit_length(), 16)
         base_key = (chunks, m, w_count, r_c)
         self._last_base_key = base_key
+        if out_info is not None:
+            # race-free shape key for this call (the instance attribute
+            # can be overwritten by concurrent msm_async callers)
+            out_info["base_key"] = base_key
         if engine is None:
             # measured winner for this shape if known, platform default
             # (Pallas on TPU) otherwise

@@ -215,6 +215,7 @@ def twist_sound_proof_from_bytes(data: bytes):
     offset = 8
     log_memory, log_ops = struct.unpack_from("<QQ", data, offset)
     offset += 16
+    _check_log_fields(log_memory=log_memory, log_ops=log_ops)
     kwargs = {"log_memory": log_memory, "log_ops": log_ops}
     for name in _TWIST_SOUND_COMMITMENTS:
         kwargs[name] = KZGCommitmentValue(g1_from_bytes(data[offset:offset + 32]))
@@ -252,6 +253,20 @@ def shout_sound_proof_to_bytes(proof) -> bytes:
 
 _BITS_VERSION = 3
 
+#: Upper bound on any log-size field read from untrusted proof bytes:
+#: 2^48 is far beyond any provable instance, and unbounded u64 fields
+#: would otherwise drive huge allocations or challenge-draw loops in the
+#: verifier before any validity check fires (ADVICE r4 item 1).
+MAX_LOG_SIZE = 48
+
+
+def _check_log_fields(**fields) -> None:
+    for name, v in fields.items():
+        if v > MAX_LOG_SIZE:
+            raise InvalidParametersError(
+                f"{name}={v} exceeds the supported bound {MAX_LOG_SIZE}"
+            )
+
 
 def sumcheck_d_proof_to_bytes(proof) -> bytes:
     out = [struct.pack("<QQ", proof.degree, len(proof.round_polynomials))]
@@ -266,6 +281,8 @@ def sumcheck_d_proof_from_bytes(data: bytes, offset: int = 0):
 
     degree, n = struct.unpack_from("<QQ", data, offset)
     offset += 16
+    if degree > 4096 or n > 4096:
+        raise InvalidParametersError("sum-check proof dimensions too large")
     rounds: List[List[Fr]] = []
     for _ in range(n):
         rp, offset = read_fr_vec(data, offset)
@@ -293,6 +310,8 @@ def _write_comms(comms) -> bytes:
 def _read_comms(data: bytes, offset: int):
     (n,) = struct.unpack_from("<Q", data, offset)
     offset += 8
+    if offset + 32 * n > len(data):
+        raise InvalidParametersError("commitment count exceeds payload")
     comms = []
     for _ in range(n):
         comms.append(KZGCommitmentValue(g1_from_bytes(data[offset:offset + 32])))
@@ -321,6 +340,7 @@ def twist_bits_proof_from_bytes(data: bytes):
     offset = 8
     log_memory, log_ops = struct.unpack_from("<QQ", data, offset)
     offset += 16
+    _check_log_fields(log_memory=log_memory, log_ops=log_ops)
     comms, offset = _read_comms(data, offset)
     check_a, offset = sumcheck_d_proof_from_bytes(data, offset)
     v_val = fr_from_bytes(data[offset:offset + 32])
@@ -361,6 +381,7 @@ def shout_bits_proof_from_bytes(data: bytes):
     offset = 8
     log_table, log_lookups = struct.unpack_from("<QQ", data, offset)
     offset += 16
+    _check_log_fields(log_table=log_table, log_lookups=log_lookups)
     comms, offset = _read_comms(data, offset)
     check, offset = sumcheck_d_proof_from_bytes(data, offset)
     values_rj, offset = read_fr_vec(data, offset)
@@ -382,6 +403,7 @@ def shout_sound_proof_from_bytes(data: bytes):
     offset = 8
     log_table, log_lookups = struct.unpack_from("<QQ", data, offset)
     offset += 16
+    _check_log_fields(log_table=log_table, log_lookups=log_lookups)
     c_ra = KZGCommitmentValue(g1_from_bytes(data[offset:offset + 32]))
     offset += 32
     c_rv = KZGCommitmentValue(g1_from_bytes(data[offset:offset + 32]))

@@ -228,6 +228,8 @@ def write_fr_vec(xs: List[Fr]) -> bytes:
 def read_fr_vec(data: bytes, offset: int) -> Tuple[List[Fr], int]:
     (n,) = struct.unpack_from("<Q", data, offset)
     offset += 8
+    if offset + 32 * n > len(data):
+        raise InvalidParametersError("fr vector length exceeds payload")
     out = []
     for _ in range(n):
         out.append(fr_from_bytes(data[offset:offset + 32]))

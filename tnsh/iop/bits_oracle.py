@@ -74,6 +74,8 @@ class TwistBitsSparseOracle:
 
     def __init__(self, log_k: int, log_t: int, *, rb, wb, ot, rv, wv, ic,
                  eq1, eqs_k, eqs_j, eqb, alpha_powers, kinv, degree: int):
+        import os
+
         self.log_k = log_k
         self.log_t = log_t
         self.num_vars = log_k + log_t
@@ -82,6 +84,24 @@ class TwistBitsSparseOracle:
         self._delegate = None
         self._challenges: List[Fr] = []
         t_size = 1 << log_t
+        self._tbk = None
+        if (not os.environ.get("TNSH_NO_NATIVE")
+                and not os.environ.get("TNSH_BITS_FORCE_JAX")):
+            from .. import _native
+
+            if _native.available:
+                import numpy as np
+
+                ra = np.zeros(t_size, dtype=np.uint64)
+                wa = np.zeros(t_size, dtype=np.uint64)
+                for i in range(log_k):
+                    ra |= np.asarray(rb[i], dtype=np.uint64) << np.uint64(i)
+                    wa |= np.asarray(wb[i], dtype=np.uint64) << np.uint64(i)
+                self._tbk = _native.tbk_create(
+                    log_k, log_t, ra, wa, ot, ot, rv, wv, ic,
+                    eq1, eqs_j, eqb, eqs_k, alpha_powers, kinv, degree + 1,
+                )
+                return
         as_int = lambda tab: [int(v) % _P for v in tab]
         self._ot = as_int(ot)
         self._rv = as_int(rv)
@@ -197,6 +217,30 @@ class TwistBitsSparseOracle:
             for m in range(half)
         ]
 
+    def __del__(self):  # pragma: no cover - finalizer
+        if getattr(self, "_tbk", None) is not None:
+            try:
+                from .. import _native
+
+                _native.tbk_free(self._tbk)
+            except Exception:
+                pass
+
+    def phase_b(self, lt_col):
+        """Native phase B: ``(v_val, oracle_b)`` — the Val evaluation and
+        the single-term Val sum-check delegate, built without any T-sized
+        table round-tripping through Python.  Returns None off the native
+        path (caller falls back to the Python construction)."""
+        if self._tbk is None:
+            return None
+        from .. import _native
+        from .sumcheck_d import NativeSopOracleD
+
+        v_val, handle = _native.tbk_phase_b(self._tbk, lt_col)
+        return v_val, NativeSopOracleD._from_handle(
+            self.log_t, handle, self.degree
+        )
+
     def _build_delegate(self) -> None:
         r_k = [int(c) for c in self._challenges]
         t_size = 1 << self.log_t
@@ -241,23 +285,37 @@ class TwistBitsSparseOracle:
             w = self._ap[2 + m] * kv % _P
             terms.append((w, [self._eqb, col, col]))
             terms.append((_P - w, [self._eqb, col]))
-        from .sumcheck_d import DenseSopOracleD
+        from .sumcheck_d import make_sopd_oracle
 
-        self._delegate = DenseSopOracleD(
-            self.log_t, terms, degree=self.degree
-        )
+        self._delegate = make_sopd_oracle(self.log_t, terms, self.degree)
 
     def round_evaluations(self, round_index: int) -> List[Fr]:
         if self._round < self.log_k:
+            if self._tbk is not None:
+                from .. import _native
+
+                return _native.tbk_round_evals(self._tbk, self.degree + 1)
             return self._k_round_evals()
         return self._delegate.round_evaluations(round_index - self.log_k)
 
     def bind(self, challenge: Fr) -> None:
         if self._round < self.log_k:
-            self._k_bind(challenge)
             self._challenges.append(challenge)
-            if self._round == self.log_k - 1:
-                self._build_delegate()
+            if self._tbk is not None:
+                from .. import _native
+
+                _native.tbk_bind(self._tbk, challenge)
+                if self._round == self.log_k - 1:
+                    from .sumcheck_d import NativeSopOracleD
+
+                    self._delegate = NativeSopOracleD._from_handle(
+                        self.log_t, _native.tbk_make_sopd(self._tbk),
+                        self.degree,
+                    )
+            else:
+                self._k_bind(challenge)
+                if self._round == self.log_k - 1:
+                    self._build_delegate()
         else:
             self._delegate.bind(challenge)
         self._round += 1
@@ -278,14 +336,25 @@ class ShoutBitsSparseOracle:
     """
 
     def __init__(self, log_k: int, log_t: int, terms, degree: int):
+        import os
+
         self.log_k = log_k
         self.log_t = log_t
         self.num_vars = log_k + log_t
         self.degree = degree
         self._round = 0
         self._delegate = None
+        self._challenges: List[Fr] = []
         t_size = 1 << log_t
         k_size = 1 << log_k
+        self._sbk = None
+        if (not os.environ.get("TNSH_NO_NATIVE")
+                and not os.environ.get("TNSH_BITS_FORCE_JAX")):
+            from .. import _native
+
+            if _native.available and self._sbk_init(
+                    _native, terms, t_size, k_size):
+                return
         self._terms = []
         for coeff, j_tables, bits, k_table in terms:
             jt = [[int(v) % _P for v in tab] for tab in j_tables]
@@ -321,6 +390,83 @@ class ShoutBitsSparseOracle:
                 {"coeff": int(coeff) % _P, "jt": jt, "addr": addr,
                  "A": [1] * t_size, "T": kt, "bits": bits}
             )
+
+    def _sbk_init(self, _native, terms, t_size: int, k_size: int) -> bool:
+        """Build the native k-phase state (same validations as the Python
+        path; bit-identical rounds).  Returns False for term shapes the
+        native engine cannot take (falls back to pure Python)."""
+        import numpy as np
+
+        jt_tabs: List = []
+        jt_seen = {}
+        addr_tabs: List = []
+        addr_seen = {}
+        kt_tabs: List = []
+        kt_seen = {}
+        spec = []
+        for coeff, j_tables, bits, k_table in terms:
+            jt_idx = []
+            for tab in j_tables:
+                if len(tab) != t_size:
+                    raise SumCheckError("j table size mismatch")
+                key = id(tab)
+                if key not in jt_seen:
+                    jt_seen[key] = len(jt_tabs)
+                    jt_tabs.append(tab)
+                jt_idx.append(jt_seen[key])
+            if bits is None:
+                if k_table is not None:
+                    raise SumCheckError("k_table needs bits")
+                spec.append((int(coeff) % _P, jt_idx, None, None))
+                continue
+            if len(bits) != self.log_k:
+                raise SumCheckError("need log_k bit columns")
+            key = tuple(id(c) for c in bits)
+            if key not in addr_seen:
+                addr = np.zeros(t_size, dtype=np.uint64)
+                for i, col in enumerate(bits):
+                    try:
+                        arr = np.asarray(col, dtype=np.uint64)
+                    except (OverflowError, ValueError, TypeError):
+                        raise SumCheckError(
+                            "bit columns must be boolean for the "
+                            "structured prover"
+                        )
+                    if arr.size != t_size or np.any(arr > 1):
+                        raise SumCheckError(
+                            "bit columns must be boolean for the "
+                            "structured prover"
+                        )
+                    addr |= arr << np.uint64(i)
+                addr_seen[key] = len(addr_tabs)
+                addr_tabs.append((addr, bits))
+            a_idx = addr_seen[key]
+            k_idx = None
+            if k_table is not None:
+                if len(k_table) != k_size:
+                    raise SumCheckError("k table size mismatch")
+                kkey = id(k_table)
+                if kkey not in kt_seen:
+                    kt_seen[kkey] = len(kt_tabs)
+                    kt_tabs.append(k_table)
+                k_idx = kt_seen[kkey]
+            spec.append((int(coeff) % _P, jt_idx, a_idx, k_idx))
+        if not spec:
+            raise SumCheckError("ShoutBitsSparseOracle needs terms")
+        self._sbk = _native.sbk_create(
+            self.log_k, self.log_t, jt_tabs,
+            [a for a, _ in addr_tabs], kt_tabs, spec, self.degree + 1,
+        )
+        return True
+
+    def __del__(self):  # pragma: no cover - finalizer
+        if getattr(self, "_sbk", None) is not None:
+            try:
+                from .. import _native
+
+                _native.sbk_free(self._sbk)
+            except Exception:
+                pass
 
     # -- k phase -----------------------------------------------------------
 
@@ -415,16 +561,18 @@ class ShoutBitsSparseOracle:
             if tm["T"] is not None:
                 coeff = coeff * tm["T"][0] % _P  # T~(r_k)
             terms.append((coeff, list(tm["jt"]) + chi_cols))
-        from .sumcheck_d import DenseSopOracleD
+        from .sumcheck_d import make_sopd_oracle
 
-        self._delegate = DenseSopOracleD(
-            self.log_t, terms, degree=self.degree
-        )
+        self._delegate = make_sopd_oracle(self.log_t, terms, self.degree)
 
     # -- SumcheckOracle interface -----------------------------------------
 
     def round_evaluations(self, round_index: int) -> List[Fr]:
         if self._round < self.log_k:
+            if self._sbk is not None:
+                from .. import _native
+
+                return _native.sbk_round_evals(self._sbk, self.degree + 1)
             return self._k_round_evals()
         return self._delegate.round_evaluations(
             round_index - self.log_k
@@ -432,11 +580,22 @@ class ShoutBitsSparseOracle:
 
     def bind(self, challenge: Fr) -> None:
         if self._round < self.log_k:
-            self._k_bind(challenge)
-            self._challenges = getattr(self, "_challenges", [])
             self._challenges.append(challenge)
-            if self._round == self.log_k - 1:
-                self._build_delegate(self._challenges)
+            if self._sbk is not None:
+                from .. import _native
+
+                _native.sbk_bind(self._sbk, challenge)
+                if self._round == self.log_k - 1:
+                    from .sumcheck_d import NativeSopOracleD
+
+                    self._delegate = NativeSopOracleD._from_handle(
+                        self.log_t, _native.sbk_make_sopd(self._sbk),
+                        self.degree,
+                    )
+            else:
+                self._k_bind(challenge)
+                if self._round == self.log_k - 1:
+                    self._build_delegate(self._challenges)
         else:
             self._delegate.bind(challenge)
         self._round += 1

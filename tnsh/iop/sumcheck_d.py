@@ -144,6 +144,107 @@ class DenseSopOracleD:
         return Fr(total % _P)
 
 
+class NativeSopOracleD:
+    """Native (C++) twin of ``DenseSopOracleD``: tables live in native
+    memory in Montgomery form (tnsh_native.cpp ``sopd_*``), every round is
+    one OpenMP-parallel generic-degree evaluation and Python only sees
+    degree+1 field elements per round.  Bit-identical proofs (exact
+    arithmetic; tests/test_twist_bits.py pins the equality)."""
+
+    def __init__(self, num_vars: int, terms, degree: int = None):
+        from .. import _native
+
+        size = 1 << num_vars
+        self.num_vars = num_vars
+        tables: List = []
+        idx_terms: List[tuple] = []
+        seen = {}
+        max_deg = 1
+        for coeff, tabs in terms:
+            idxs = []
+            for t in tabs:
+                key = id(t)
+                if key not in seen:
+                    if len(t) != size:
+                        raise SumCheckError("table size mismatch")
+                    seen[key] = len(tables)
+                    tables.append(t)
+                idxs.append(seen[key])
+            idx_terms.append((int(coeff) % _P, idxs))
+            max_deg = max(max_deg, len(idxs))
+        if not idx_terms:
+            raise SumCheckError("NativeSopOracleD needs at least one term")
+        self.degree = max_deg if degree is None else degree
+        if self.degree < max_deg:
+            raise SumCheckError("declared degree below term degree")
+        self._native_id = _native.sopd_create(
+            tables, idx_terms, self.degree + 1
+        )
+
+    @classmethod
+    def _from_handle(cls, num_vars: int, handle: int, degree: int
+                     ) -> "NativeSopOracleD":
+        """Wrap an already-built native sopd handle (e.g. from
+        _native.tbk_make_sopd) without marshalling any tables."""
+        o = cls.__new__(cls)
+        o.num_vars = num_vars
+        o.degree = degree
+        o._native_id = handle
+        return o
+
+    def __del__(self):  # pragma: no cover - finalizer
+        if getattr(self, "_native_id", None) is not None:
+            try:
+                from .. import _native
+
+                _native.sop_free(self._native_id)
+            except Exception:
+                pass
+
+    def round_evaluations(self, round_index: int) -> List[Fr]:
+        from .. import _native
+
+        return _native.sopd_round_evals(self._native_id, self.degree + 1)
+
+    def bind(self, challenge: Fr) -> None:
+        from .. import _native
+
+        _native.sop_bind(self._native_id, challenge)
+
+    def final_evaluation(self, challenges: Sequence[Fr]) -> Fr:
+        from .. import _native
+
+        return _native.sop_final(self._native_id)
+
+
+def make_sopd_oracle(num_vars: int, terms, degree: int):
+    """Route a generic-degree sum-of-products oracle to the fastest
+    available backend: native C++ (default — per-round latency-free and
+    OpenMP-parallel), the JAX/Pallas device oracle (opt-in via
+    TNSH_BITS_FORCE_JAX=1, or automatic above TNSH_BITS_JAX_MIN variables
+    when native is unavailable; per-round device dispatch costs ~0.35 s
+    over the axon tunnel, so it only pays on locally-attached TPUs), or
+    the pure-Python dense oracle (TNSH_NO_NATIVE golden path).  Identical
+    proofs on every backend (exact arithmetic; tested)."""
+    import os
+
+    no_native = bool(os.environ.get("TNSH_NO_NATIVE"))
+    no_jax = bool(os.environ.get("TNSH_NO_JAX"))
+    try:
+        jax_min = int(os.environ.get("TNSH_BITS_JAX_MIN", ""))
+    except ValueError:
+        jax_min = 16
+    force_jax = bool(os.environ.get("TNSH_BITS_FORCE_JAX"))
+    if not no_jax and (force_jax or (no_native and num_vars >= jax_min)):
+        return JaxSopOracleD(num_vars, terms, degree=degree)
+    if not no_native:
+        from .. import _native
+
+        if _native.available:
+            return NativeSopOracleD(num_vars, terms, degree=degree)
+    return DenseSopOracleD(num_vars, terms, degree=degree)
+
+
 class JaxSopOracleD:
     """Device-backed twin of ``DenseSopOracleD`` (tnsh.poly.mle_jax /
     tnsh.field.fr_pallas kernels).

@@ -165,8 +165,19 @@ def _open_cube_dense(params_n, log_k: int, log_t: int, table, point):
     return open_dense_cube(cube_params(log_k, log_t), table, point)
 
 
-def _rlc_tables(tables: Sequence[Sequence[int]], gamma: int) -> List[int]:
-    """Pointwise sum_i gamma^i * tables[i] mod p."""
+def _rlc_tables(tables: Sequence[Sequence[int]], gamma: int):
+    """Pointwise sum_i gamma^i * tables[i] mod p (bytes-backed FrTable on
+    the native path; a plain int list otherwise)."""
+    import os
+
+    if (len(tables[0]) >= 1024
+            and not os.environ.get("TNSH_NO_NATIVE")):
+        from .. import _native
+
+        if _native.available:
+            from ..field.fr import FrTable
+
+            return FrTable(_native.fr_rlc(tables, gamma))
     out = [int(v) % _P for v in tables[0]]
     w = 1
     for tab in tables[1:]:
@@ -174,6 +185,21 @@ def _rlc_tables(tables: Sequence[Sequence[int]], gamma: int) -> List[int]:
         for i, v in enumerate(tab):
             out[i] = (out[i] + w * int(v)) % _P
     return out
+
+
+def _mle_eval_many(tables: Sequence[Sequence], point: Sequence[Fr]
+                   ) -> List[Fr]:
+    """[~table(point) for each table] — one native batch call when
+    available (the bit-column provers evaluate 2logK+4 columns at once)."""
+    import os
+
+    if (tables and len(tables[0]) >= 1024 and point
+            and not os.environ.get("TNSH_NO_NATIVE")):
+        from .. import _native
+
+        if _native.available:
+            return _native.fr_mle_eval_many(tables, point)
+    return [Fr(_mle_eval(t, point)) for t in tables]
 
 
 def _kinv(log_k: int) -> int:
@@ -392,6 +418,10 @@ class ShoutSound:
         verifier_params: VerifierParams,
     ) -> bool:
         log_k, log_t = proof.log_table, proof.log_lookups
+        # bound untrusted u64 size fields before the 1 << log_k allocation
+        # and the challenge-draw loops (ADVICE r4 item 1)
+        if log_k > 48 or log_t > 48:
+            return False
         n = log_k + log_t
         entries = [int(e) for e in table_entries]
         k_size = 1 << log_k
@@ -792,6 +822,8 @@ class TwistSound:
     @staticmethod
     def verify(proof: TwistSoundProof, verifier_params: VerifierParams) -> bool:
         log_k, log_t = proof.log_memory, proof.log_ops
+        if log_k > 48 or log_t > 48:  # untrusted u64 fields (ADVICE r4)
+            return False
         n = log_k + log_t
         if len(proof.cube_values) != 4 or len(proof.col_values) != 3:
             return False

@@ -47,13 +47,13 @@ are bound into the transcript BEFORE gamma is drawn.  Challenges derive
 from the same Fiat-Shamir stack as the other protocols (labels
 "tbits_*", wire version 3).
 
-Prover cost: the prototype materializes V and the chi factors densely
-(O(K·T) memory/time).  The O(T)-prover refinement — running phase A's
-k rounds on the column-sparse structure (each cycle touches one address,
-so V is column-incremental exactly like IncrementalCubeTable) — is a
-planned follow-up; the protocol itself (commitments, wire format,
-verifier) already never touches a cube SRS, which is the part the
-ceremony constrains.
+Prover cost: the DEFAULT prover runs phase A's k rounds on the
+structured O(T·logK) oracles (tnsh.iop.bits_oracle — each cycle touches
+one address, so V restricts to suffix-bucket prefix sums and no (k, j)
+cube is ever built), with a native C++ k-phase + j-phase when available
+(tnsh_native.cpp tbk_*/sbk_*/sopd_*).  TNSH_BITS_DENSE=1 selects the
+dense cube cross-check path (O(K·T) memory/time; bit-identical proofs —
+tests pin the equality).
 """
 
 from __future__ import annotations
@@ -79,6 +79,7 @@ from .sound import (
     _kinv,
     _lift_j,
     _mle_eval,
+    _mle_eval_many,
     _next_power_of_two,
     _rlc_commitments,
     _rlc_tables,
@@ -140,26 +141,14 @@ def _chi_scalar(r_ki: int, b: int) -> int:
     return ((1 - r_ki) * ((1 - b) % _P) + r_ki * (b % _P)) % _P
 
 
-#: Hypercubes with at least this many variables run the sum-checks on the
-#: device oracle (JaxSopOracleD: fused generic-degree rounds, Pallas on
-#: TPU); smaller ones use the pure-Python DenseSopOracleD.  Identical
-#: proofs either way (exact arithmetic; tested).  Default 16: every
-#: round is a fresh jit shape, and per-shape compiles over the axon
-#: tunnel (30-120 s XLA, minutes Mosaic) only amortize for long-lived
-#: provers or genuinely large tables — tune with TNSH_BITS_JAX_MIN.
-_JAX_MIN_VARS = 16
-
-
 def _make_oracle(num_vars: int, terms, degree: int):
-    import os
+    """Generic-degree sop oracle routing: native C++ by default, the
+    JAX/Pallas device oracle via TNSH_BITS_FORCE_JAX=1 (or automatically
+    above TNSH_BITS_JAX_MIN vars when native is unavailable), pure Python
+    under TNSH_NO_NATIVE.  See tnsh.iop.sumcheck_d.make_sopd_oracle."""
+    from ..iop.sumcheck_d import make_sopd_oracle
 
-    min_vars = int(os.environ.get("TNSH_BITS_JAX_MIN", _JAX_MIN_VARS))
-    if (num_vars >= min_vars
-            and os.environ.get("TNSH_NO_JAX", "") == ""):
-        from ..iop.sumcheck_d import JaxSopOracleD
-
-        return JaxSopOracleD(num_vars, terms, degree=degree)
-    return DenseSopOracleD(num_vars, terms, degree=degree)
+    return make_sopd_oracle(num_vars, terms, degree)
 
 
 class TwistBits:
@@ -272,36 +261,43 @@ class TwistBits:
 
         # --- phase B: Val-evaluation sum-check over j' -------------------
         lt_col = lt_partial_table(log_t, r_j)
-        chi_w_cols = [
-            _chi_col(wb[i], int(r_k[i])) for i in range(log_k)
-        ]
-        if dense:
-            v_val = _mle_eval(V, r)
+        native_b = (None if dense
+                    else getattr(oracle_a, "phase_b", lambda _: None)(lt_col))
+        if native_b is not None:
+            # v_val and the Val delegate built natively from the oracle's
+            # folded k-phase state (no T-sized Python round-trip)
+            v_val, oracle_b = native_b
         else:
-            # V~(r) = Σ_j lt~(j, r_j) · ot ic Π chi(r_k, wb(j)) — the
-            # multilinear identity phase B proves, evaluated directly
-            # (exact; no Val cube needed)
-            acc = 0
-            for j in range(t_size):
-                if not ot[j]:
-                    continue
-                term = int(lt_col[j]) * ic[j] % _P
-                for i in range(log_k):
-                    term = term * chi_w_cols[i][j] % _P
-                acc += term
-            v_val = Fr(acc % _P)
+            chi_w_cols = [
+                _chi_col(wb[i], int(r_k[i])) for i in range(log_k)
+            ]
+            if dense:
+                v_val = _mle_eval(V, r)
+            else:
+                # V~(r) = Σ_j lt~(j, r_j) · ot ic Π chi(r_k, wb(j)) — the
+                # multilinear identity phase B proves, evaluated directly
+                # (exact; no Val cube needed)
+                acc = 0
+                for j in range(t_size):
+                    if not ot[j]:
+                        continue
+                    term = int(lt_col[j]) * ic[j] % _P
+                    for i in range(log_k):
+                        term = term * chi_w_cols[i][j] % _P
+                    acc += term
+                v_val = Fr(acc % _P)
+            oracle_b = _make_oracle(
+                log_t, [(1, [lt_col, ot, ic] + chi_w_cols)], degree
+            )
         transcript.append_field_element(b"tbits_v_val", v_val)
-        oracle_b = _make_oracle(
-            log_t, [(1, [lt_col, ot, ic] + chi_w_cols)], degree
-        )
         check_b, s = SumCheckD(
             log_t, v_val, degree
         ).prove_with_challenges(oracle_b, transcript)
 
         # --- batched openings --------------------------------------------
-        values_rj = [Fr(_mle_eval(c, r_j)) for c in columns]
+        values_rj = _mle_eval_many(columns, r_j)
         cols_s = wb + [ot, ic]
-        values_s = [Fr(_mle_eval(c, s)) for c in cols_s]
+        values_s = _mle_eval_many(cols_s, s)
         transcript.append_field_elements(b"tbits_values_rj", values_rj)
         transcript.append_field_elements(b"tbits_values_s", values_s)
         gamma = transcript.challenge_field_element(b"tbits_gamma")
@@ -329,7 +325,13 @@ class TwistBits:
     @staticmethod
     def verify(proof: TwistBitsProof, verifier_params: VerifierParams
                ) -> bool:
+        from ..core.proof_io import MAX_LOG_SIZE
+
         log_k, log_t = proof.log_memory, proof.log_ops
+        # Bound untrusted size fields BEFORE any allocation or challenge
+        # draw (malicious bytes could otherwise drive 2^63-scale work).
+        if not (1 <= log_k <= MAX_LOG_SIZE and 0 <= log_t <= MAX_LOG_SIZE):
+            return False
         n = log_k + log_t
         n_cols = 2 * log_k + 4
         if len(proof.column_commitments) != n_cols:
@@ -529,7 +531,7 @@ class ShoutBits:
         )
         r_j = r[log_k:]
 
-        values_rj = [Fr(_mle_eval(c, r_j)) for c in columns]
+        values_rj = _mle_eval_many(columns, r_j)
         transcript.append_field_elements(b"sbits_values_rj", values_rj)
         gamma = transcript.challenge_field_element(b"sbits_gamma")
         g = int(gamma)
@@ -549,11 +551,21 @@ class ShoutBits:
     @staticmethod
     def verify(proof: ShoutBitsProof, table_entries: Sequence[Fr],
                verifier_params: VerifierParams) -> bool:
+        from ..core.proof_io import MAX_LOG_SIZE
+
         log_k, log_t = proof.log_table, proof.log_lookups
+        # The honest log_table is a pure function of the verifier's own
+        # table; recomputing it rejects malicious size fields before the
+        # 2^log_table padding allocation (ADVICE r4 item 1).
+        if not table_entries or log_t > MAX_LOG_SIZE:
+            return False
+        expected_k = _next_power_of_two(len(table_entries))
+        if log_k != max(expected_k.bit_length() - 1, 1):
+            return False
         n = log_k + log_t
         entries = [int(e) % _P for e in table_entries]
         k_size = 1 << log_k
-        if not entries or len(entries) > k_size:
+        if len(entries) > k_size:
             return False
         entries = entries + [0] * (k_size - len(entries))
         if len(proof.column_commitments) != log_k + 1:

@@ -155,6 +155,73 @@ def fuzz_protocols(rng: random.Random, iters: int) -> None:
     print(f"  protocols: {iters} iters OK")
 
 
+def fuzz_bits(rng: random.Random, iters: int) -> None:
+    """TwistBits/ShoutBits: dense cube oracle == structured Python oracle
+    == structured native oracle, proof-byte-identical on random traces
+    (the direct fuzz hook for tnsh.iop.bits_oracle — VERDICT r4 task 3)."""
+    import hashlib
+    import os
+
+    from tnsh.core.params import setup_params
+    from tnsh.core.proof_io import (
+        shout_bits_proof_to_bytes,
+        twist_bits_proof_to_bytes,
+    )
+    from tnsh.field.fr import MODULUS, Fr
+    from tnsh.protocols.shout import LookupTable
+    from tnsh.protocols.twist_bits import ShoutBits, TwistBits
+
+    pp, vp = setup_params(6)
+    envs = ({"TNSH_BITS_DENSE": "1"}, {"TNSH_NO_NATIVE": "1"}, {})
+    for it in range(iters):
+        log_k = rng.choice([1, 2, 3, 4])
+        mem = 1 << log_k
+        ops = []
+        for _ in range(rng.randrange(0, 33)):
+            if rng.random() < 0.5:
+                ops.append(("w", rng.randrange(mem),
+                            rng.randrange(MODULUS)))
+            else:
+                ops.append(("r", rng.randrange(mem), 0))
+
+        def make_trace():
+            from tnsh.protocols.twist import MemoryTrace
+
+            tr = MemoryTrace(mem)
+            for kind, a, v in ops:
+                tr.write(a, Fr(v)) if kind == "w" else tr.read(a)
+            return tr
+
+        entries = [Fr(rng.randrange(MODULUS))
+                   for _ in range(rng.randrange(1, mem + 1))]
+        looks = [rng.randrange(len(entries))
+                 for _ in range(rng.randrange(0, 17))]
+        digs, sdigs = set(), set()
+        for env in envs:
+            for var in ("TNSH_BITS_DENSE", "TNSH_NO_NATIVE"):
+                os.environ.pop(var, None)
+            os.environ.update(env)
+            try:
+                proof = TwistBits.prove(make_trace(), pp)
+                assert TwistBits.verify(proof, vp), f"tbits reject iter={it}"
+                digs.add(hashlib.sha256(
+                    twist_bits_proof_to_bytes(proof)).hexdigest())
+                tbl = LookupTable(list(entries))
+                for ix in looks:
+                    tbl.lookup(ix)
+                sproof = ShoutBits.prove(tbl, pp)
+                assert ShoutBits.verify(sproof, tbl.entries, vp), \
+                    f"sbits reject iter={it}"
+                sdigs.add(hashlib.sha256(
+                    shout_bits_proof_to_bytes(sproof)).hexdigest())
+            finally:
+                for var in ("TNSH_BITS_DENSE", "TNSH_NO_NATIVE"):
+                    os.environ.pop(var, None)
+        assert len(digs) == 1, f"tbits divergence iter={it}"
+        assert len(sdigs) == 1, f"sbits divergence iter={it}"
+    print(f"  bits protocols: {iters} iters OK")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
@@ -173,6 +240,7 @@ def main() -> None:
     fuzz_poly(rng, args.iters)
     fuzz_msm(rng, args.iters)
     fuzz_protocols(rng, max(args.iters // 3, 5))
+    fuzz_bits(rng, max(args.iters // 6, 3))
     fuzz_field(rng, max(args.iters // 3, 5))
     print("ALL BACKENDS AGREE")
 
