@@ -115,13 +115,17 @@ def main() -> None:
     try:
         import subprocess
 
-        # One jitted fori_loop = ONE dispatch + ONE fetch for 2^25
+        # One jitted fori_loop = ONE dispatch + ONE fetch for 2^27
         # lane-muls: the old 100-dispatch chain measured per-dispatch
         # tunnel latency, not the chip (BENCH_r01 1485 vs BENCH_r02 107
-        # M muls/s on identical code).  Speed-of-light: ~0.33e12 VPU
-        # int-ops/s (PERF_NOTES round-2 finding 5) / ~244 arithmetic ops
-        # per CIOS lane-mul (add 88, mul 66, and 45, shr 45 in the
-        # fr_mont_mul jaxpr) ~= 1.35e9 muls/s.
+        # M muls/s on identical code).  iters=256 amortizes the measured
+        # ~27 ms fixed dispatch+grid overhead (round-5 iters sweep: 221 /
+        # 436 / 594 M muls/s at iters 16/64/256; marginal 672 M).  The
+        # naive speed-of-light model — 0.33e12 VPU int-ops/s over ~244
+        # CIOS ops/mul = 1.35 G — overestimates: the round-5 block+iters
+        # sweeps bound the true cost at ~490 effective VPU slots per mul
+        # (int32 multiplies issue at about half rate), a ~0.67 G ceiling
+        # the marginal rate saturates (PERF_NOTES r5).
         probe = (
             "import time, jax, jax.numpy as jnp, numpy as np\n"
             "try: jax.config.update('jax_compilation_cache_dir', "
@@ -131,7 +135,7 @@ def main() -> None:
             "from tnsh.field import fr_pallas\n"
             "from tnsh.field.limbs import FR_SPEC, pack_ints\n"
             "rng = np.random.default_rng(0)\n"
-            "n, iters = 1 << 19, 64\n"
+            "n, iters = 1 << 19, 256\n"
             "vals = [int(v) for v in rng.integers(0, 1 << 62, n)]\n"
             "a = jnp.asarray(pack_ints(vals, FR_SPEC))\n"
             "# shipped production kernel: the VMEM-resident Pallas chain\n"
@@ -153,7 +157,7 @@ def main() -> None:
             "    # not wait over the axon tunnel (PERF_NOTES round-2)\n"
             "    best = min(best, time.perf_counter() - t0)\n"
             "rate = n * iters / best\n"
-            "sol = 0.33e12 / 244.0\n"
+            "sol = 0.33e12 / 490.0\n"
             "print(f'{jax.devices()[0].platform} {kind} {rate / 1e6:.0f} M "
             "muls/s ({100 * rate / sol:.0f}% of ~{sol / 1e6:.0f}M "
             "speed-of-light; {iters}x chained muls over 2^19 lanes, "

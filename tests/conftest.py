@@ -18,10 +18,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-try:  # persistent XLA compile cache: big kernels compile once per machine
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tnsh_jax_cache")
-except Exception:
-    pass
+if not os.environ.get("TNSH_NO_PERSISTENT_CACHE"):
+    try:  # persistent XLA compile cache: big kernels compile once per machine
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tnsh_jax_cache")
+    except Exception:
+        pass
 
 import pytest  # noqa: E402
 

@@ -345,3 +345,45 @@ class TestShardedOracle:
         assert host_proof.final_evaluation == sharded_proof.final_evaluation
         ok, _ = sc.verify(sharded_proof, Transcript(seed))
         assert ok
+
+
+def test_sharded_sopd_oracle_identical_proofs():
+    """ShardedSopOracleD (multi-chip GENERIC-DEGREE sop — the bit-column
+    protocols' j-phase on the mesh) is bit-identical to the host
+    generic-degree oracle across a complete transcript-driven proof."""
+    import jax
+
+    from tnsh.core.transcript import Transcript
+    from tnsh.iop.sumcheck_d import DenseSopOracleD, SumCheckD
+    from tnsh.parallel.mesh import ShardedSopOracleD, make_mesh
+
+    random.seed(95)
+    n = 6
+    size = 1 << n
+    t1 = [random.randrange(MODULUS) for _ in range(size)]
+    t2 = [random.randrange(2) for _ in range(size)]
+    t3 = [random.randrange(MODULUS) for _ in range(size)]
+    terms = [
+        (3, [t1, t2, t3, t1, t2]),           # degree-5 product
+        (MODULUS - 5, [t2, t3]),
+        (11, [t3, t3, t3]),
+    ]
+    degree = 5
+    claim = DenseSopOracleD(n, terms, degree=degree).hypercube_sum()
+    seed = bytes([43]) * 32
+    host_proof, _ = SumCheckD(n, claim, degree).prove_with_challenges(
+        DenseSopOracleD(n, terms, degree=degree), Transcript(seed)
+    )
+    mesh = make_mesh(jax.devices()[:8])
+    sharded_proof, _ = SumCheckD(n, claim, degree).prove_with_challenges(
+        ShardedSopOracleD(n, terms, degree, mesh), Transcript(seed)
+    )
+    assert [[int(c) for c in rp] for rp in host_proof.round_polynomials] \
+        == [[int(c) for c in rp] for rp in sharded_proof.round_polynomials]
+    assert int(host_proof.final_evaluation) == int(
+        sharded_proof.final_evaluation
+    )
+    ok, _ = SumCheckD(n, claim, degree).verify(
+        sharded_proof, Transcript(seed)
+    )
+    assert ok

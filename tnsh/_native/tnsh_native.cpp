@@ -1333,6 +1333,19 @@ struct SopState {
     int npts = 4;                      // X-points per round (degree + 1)
     std::vector<std::vector<u64>> tables;  // each 4*size limbs, Montgomery
     std::vector<SopTerm> terms;
+    // highest X-point each table is read at during a round (min(term
+    // degree, npts-1) over the terms using it): low-degree-only tables
+    // (booleanity checks) skip most of the per-pair extension adds
+    std::vector<int> need_x;
+    void compute_need() {
+        need_x.assign(tables.size(), 1);
+        for (const SopTerm &t : terms) {
+            int d = (int)t.factors.size();
+            if (d > npts - 1) d = npts - 1;
+            for (int f : t.factors)
+                if (d > need_x[f]) need_x[f] = d;
+        }
+    }
 };
 
 static std::vector<SopState *> g_sop_store;
@@ -1385,7 +1398,30 @@ int sop_create(const uint8_t *tables, size_t num_tables, size_t size,
         for (int f = 0; f < nf; f++) term.factors.push_back(spec[off++]);
         st->terms.push_back(term);
     }
+    st->compute_need();
     return store_put(g_sop_store, st);
+}
+
+// Forward-difference state for extending a degree-<=d polynomial known at
+// f(0..d) to further consecutive integer points with d adds per point.
+// Exact field arithmetic — bit-identical to direct evaluation.
+// diffs[k] = k-th forward difference anchored at the advancing tail.
+static const int FD_MAX = 72;  // npts <= degree+1 <= logK+4, logK <= 48
+
+static inline void fd_init(u64 diffs[][4], const u64 vals[][4], int d) {
+    u64 tri[FD_MAX][4];
+    for (int i = 0; i <= d; i++) memcpy(tri[i], vals[i], 32);
+    memcpy(diffs[0], tri[d], 32);
+    for (int k = 1; k <= d; k++) {
+        for (int i = d; i >= k; i--)
+            sub_mod(tri[i], tri[i], tri[i - 1], FR);
+        memcpy(diffs[k], tri[d], 32);
+    }
+}
+
+static inline void fd_step(u64 diffs[][4], int d) {
+    for (int k = d - 1; k >= 0; k--)
+        add_mod(diffs[k], diffs[k], diffs[k + 1], FR);
 }
 
 // out: npts * 32 B — g(0..npts-1) in standard form (npts = 4 for handles
@@ -1414,19 +1450,33 @@ void sop_round_evals(int id, uint8_t *out) {
                 if (npts > 1) memcpy(&v[4], hi, 32);
                 u64 d[4];
                 sub_mod(d, hi, lo, FR);
-                for (int x = 2; x < npts; x++)
+                int top = st->need_x.empty() ? npts - 1 : st->need_x[t];
+                for (int x = 2; x <= top; x++)
                     add_mod(&v[4 * x], &v[4 * (x - 1)], d, FR);
             }
-            for (int x = 0; x < npts; x++) {
-                u64 acc[4] = {0, 0, 0, 0};
-                for (const SopTerm &term : st->terms) {
+            // per term: direct products at x <= term degree, then
+            // forward-difference extension (d adds/point, not d muls)
+            for (const SopTerm &term : st->terms) {
+                int d = (int)term.factors.size();
+                if (d >= npts) d = npts - 1;
+                u64 fv[FD_MAX][4];
+                for (int x = 0; x <= d; x++) {
                     u64 prod[4];
                     memcpy(prod, term.coeff, 32);
                     for (int f : term.factors)
                         mmul(prod, prod, &vals[4 * (npts * f + x)], FR);
-                    add_mod(acc, acc, prod, FR);
+                    memcpy(fv[x], prod, 32);
+                    add_mod(&local[4 * x], &local[4 * x], prod, FR);
                 }
-                add_mod(&local[4 * x], &local[4 * x], acc, FR);
+                if (d + 1 < npts) {
+                    u64 diffs[FD_MAX][4];
+                    fd_init(diffs, fv, d);
+                    for (int x = d + 1; x < npts; x++) {
+                        fd_step(diffs, d);
+                        add_mod(&local[4 * x], &local[4 * x], diffs[0],
+                                FR);
+                    }
+                }
             }
         }
 #ifdef _OPENMP
@@ -1450,6 +1500,7 @@ int sopd_create(const uint8_t *tables, size_t num_tables, size_t size,
                 const uint8_t *coeffs, int npts) {
     int id = sop_create(tables, num_tables, size, spec, num_terms, coeffs);
     g_sop_store[id]->npts = npts;
+    g_sop_store[id]->compute_need();
     return id;
 }
 
@@ -2017,6 +2068,7 @@ int sco_make_sop(int id) {
             so_t.factors.push_back((int)(n_eqj + n_sp) + ii);
         so->terms.push_back(so_t);
     }
+    so->compute_need();
     return store_put(g_sop_store, so);
 }
 
@@ -3513,14 +3565,26 @@ void tbk_round_evals(int id, uint8_t *out) {
             const u64 *b1 = &B[4 * (((ra >> 1) << 1) + 1)];
             u64 d[4];
             sub_mod(d, b1, b0, FR);
-            for (int x = 0; x < npts; x++) {
+            // f(X) = w * chi(X,b) * ((1-X) b0 + X b1): quadratic —
+            // direct at X=0..2, forward-difference the rest (2 adds/pt)
+            int dd = npts - 1 < 2 ? npts - 1 : 2;
+            u64 fv[4][4];
+            for (int x = 0; x <= dd; x++) {
                 u64 vp[4], m[4];
                 mmul(vp, &xm[4 * x], d, FR);
                 add_mod(vp, vp, b0, FR);
-                if (is_zero4(vp)) continue;
                 mmul(m, w, b ? &xm[4 * x] : &cxm[4 * x], FR);
                 mmul(m, m, vp, FR);
+                memcpy(fv[x], m, 32);
                 add_mod(&accp[4 * x], &accp[4 * x], m, FR);
+            }
+            if (dd + 1 < npts) {
+                u64 diffs[4][4];
+                fd_init(diffs, fv, dd);
+                for (int x = dd + 1; x < npts; x++) {
+                    fd_step(diffs, dd);
+                    add_mod(&accp[4 * x], &accp[4 * x], diffs[0], FR);
+                }
             }
         }
         if (st->ot_b[j]) {
@@ -3540,21 +3604,32 @@ void tbk_round_evals(int id, uint8_t *out) {
                 sub_mod(bd, b1, b0, FR);
                 sub_mod(ic_wv, &st->ic[4 * j], &st->wv[4 * j], FR);
                 mmul(head0, a1, base, FR);
-                for (int x = 0; x < npts; x++) {
+                // g(X) = head0 * chi(X,b) * ek(X) * (ic_wv + vp(X)):
+                // cubic — direct at X=0..3, differences after (3 adds/pt)
+                int dd = npts - 1 < 3 ? npts - 1 : 3;
+                u64 fv[4][4];
+                for (int x = 0; x <= dd; x++) {
                     u64 ek[4], head[4], m[4], vp[4];
                     mmul(ek, &xm[4 * x], edt, FR);
                     add_mod(ek, ek, et0, FR);
                     const u64 *cx = b ? &xm[4 * x] : &cxm[4 * x];
-                    if (is_zero4(cx)) continue;
                     mmul(head, head0, cx, FR);
                     mmul(head, head, ek, FR);
-                    mmul(m, head, ic_wv, FR);
-                    add_mod(&accp[4 * x], &accp[4 * x], m, FR);
                     mmul(vp, &xm[4 * x], bd, FR);
                     add_mod(vp, vp, b0, FR);
-                    if (is_zero4(vp)) continue;
+                    add_mod(vp, vp, ic_wv, FR);
                     mmul(m, head, vp, FR);
+                    memcpy(fv[x], m, 32);
                     add_mod(&accp[4 * x], &accp[4 * x], m, FR);
+                }
+                if (dd + 1 < npts) {
+                    u64 diffs[4][4];
+                    fd_init(diffs, fv, dd);
+                    for (int x = dd + 1; x < npts; x++) {
+                        fd_step(diffs, dd);
+                        add_mod(&accp[4 * x], &accp[4 * x], diffs[0],
+                                FR);
+                    }
                 }
             }
             // bucket insert AFTER this cycle's own contributions
@@ -3731,6 +3806,7 @@ int tbk_make_sopd(int id) {
         mmul(w, &st->apow[4 * (2 + m)], st->kinv, FR);
         add_term(w, {i_eqb, i_bool[m], i_bm1[m]});
     }
+    so->compute_need();
     return store_put(g_sop_store, so);
 }
 
@@ -3773,6 +3849,7 @@ int tbk_phase_b(int id, const uint8_t *lt_col, uint8_t *out_v_val) {
     u64 s[4];
     from_mont(s, acc, FR);
     limbs_to_bytes(out_v_val, s);
+    so->compute_need();
     return store_put(g_sop_store, so);
 }
 
@@ -3921,15 +3998,28 @@ void sbk_round_evals(int id, uint8_t *out) {
                     memcpy(t0, FR.one, 32);
                     memset(dt, 0, 32);
                 }
-                for (int x = 0; x < npts; x++) {
+                // g(X) = w * chi(X,b) * (t0 + X dt): quadratic —
+                // direct at X=0..2, forward differences after
+                int dd = npts - 1 < 2 ? npts - 1 : 2;
+                u64 fv[4][4];
+                for (int x = 0; x <= dd; x++) {
                     const u64 *cx = b ? &xm[4 * x] : &cxm[4 * x];
-                    if (is_zero4(cx)) continue;
                     u64 tv[4], m[4];
                     mmul(tv, &xm[4 * x], dt, FR);
                     add_mod(tv, tv, t0, FR);
                     mmul(m, w, cx, FR);
                     mmul(m, m, tv, FR);
+                    memcpy(fv[x], m, 32);
                     add_mod(&lacc[4 * x], &lacc[4 * x], m, FR);
+                }
+                if (dd + 1 < npts) {
+                    u64 diffs[4][4];
+                    fd_init(diffs, fv, dd);
+                    for (int x = dd + 1; x < npts; x++) {
+                        fd_step(diffs, dd);
+                        add_mod(&lacc[4 * x], &lacc[4 * x], diffs[0],
+                                FR);
+                    }
                 }
             }
 #ifdef _OPENMP
@@ -4020,6 +4110,7 @@ int sbk_make_sopd(int id) {
         }
         so->terms.push_back(ot);
     }
+    so->compute_need();
     return store_put(g_sop_store, so);
 }
 

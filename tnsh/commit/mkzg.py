@@ -268,6 +268,42 @@ class MultilinearKZG:
         return KZGCommitmentValue(msm(seg, list(evaluations)))
 
     @staticmethod
+    def commit_many(
+        params: MLCommitmentParams, tables: Sequence[Sequence[Fr]]
+    ) -> List[KZGCommitmentValue]:
+        """Commit a batch of equal-length columns in ONE burst.
+
+        Native-resident SRS segments route every MSM through
+        ``hybrid_srs_msm_many`` (all device parts dispatched before any
+        host work — the 2logK+4 column commits of the bit-column provers
+        are a natural burst workload, paying the per-call axon latency
+        once per batch; VERDICT r4 task 4).  Identical commitments to
+        per-column :meth:`commit` on any path."""
+        tables = list(tables)
+        if not tables:
+            return []
+        size = len(tables[0])
+        n_vars = _infer_vars(size)
+        if n_vars > params.num_vars:
+            raise CommitmentError("polynomial exceeds SRS size")
+        if any(len(t) != size for t in tables):
+            raise CommitmentError("commit_many needs equal-length tables")
+        seg = params.basis[params.num_vars - n_vars]
+        import os
+
+        from ..core.params import NativeSRS
+
+        if (isinstance(seg, NativeSRS) and size >= 1024
+                and not os.environ.get("TNSH_NO_NATIVE")):
+            from .. import _native
+            from .kzg import hybrid_srs_msm_many
+
+            blobs = [_native._fr_vec_bytes(t) for t in tables]
+            res = hybrid_srs_msm_many(seg.srs_id, blobs, size)
+            return [KZGCommitmentValue(r) for r in res]
+        return [MultilinearKZG.commit(params, t) for t in tables]
+
+    @staticmethod
     def open(
         params: MLCommitmentParams,
         evaluations: Sequence[Fr],

@@ -355,6 +355,7 @@ _SEG = 128
 
 
 @lru_cache(maxsize=64)
+
 def _compiled_msm_kernel(chunks: int, m: int, w_count: int, r_c: int):
     """Jitted MSM kernel for a static (chunks, m, W, R_c) configuration.
 

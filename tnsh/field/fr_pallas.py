@@ -380,9 +380,9 @@ def sum_of_products_round_evals(tables, coeffs, term_idxs, npts: int = 4):
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=8)
-def _chain_call(n: int, iters: int, interpret: bool):
+def _chain_call(n: int, iters: int, interpret: bool, block: int = BLOCK):
     jax, jnp, pl, pltpu = _get()
-    nblk = n // BLOCK
+    nblk = n // block
 
     def kern(x_ref, y_ref, p_ref, p2_ref, one_ref, out_ref):
         fr = _kernel_ops(p_ref, p2_ref, one_ref)
@@ -394,7 +394,7 @@ def _chain_call(n: int, iters: int, interpret: bool):
 
         out_ref[:] = fr.mont_mul(out_ref[:], y_ref[:])
 
-    blk_in = pl.BlockSpec((L, BLOCK), lambda b, s: (0, b),
+    blk_in = pl.BlockSpec((L, block), lambda b, s: (0, b),
                           memory_space=pltpu.VMEM)
     cst = pl.BlockSpec((L, RED), lambda b, s: (0, 0),
                        memory_space=pltpu.VMEM)
@@ -417,11 +417,15 @@ def _chain_call(n: int, iters: int, interpret: bool):
     return chain
 
 
-def mont_mul_chain(x, y, iters: int):
+def mont_mul_chain(x, y, iters: int, block: int = None):
     """iters back-to-back Montgomery muls: x * y^iters (Montgomery form),
     accumulator VMEM-resident across the whole chain per lane block.
-    Exact; bit-compatible with iterating ``fr_jax.fr_mont_mul``."""
+    Exact; bit-compatible with iterating ``fr_jax.fr_mont_mul``.
+
+    ``block`` overrides the lane-block size (throughput tuning: fewer,
+    larger blocks amortize per-grid-step overhead; VMEM-bounded)."""
     n = x.shape[1]
-    if n % BLOCK:
-        raise ValueError(f"lane count must be a multiple of {BLOCK}")
-    return _chain_call(n, iters, _interpret())(x, y)
+    blk = BLOCK if block is None else block
+    if n % blk:
+        raise ValueError(f"lane count must be a multiple of {blk}")
+    return _chain_call(n, iters, _interpret(), blk)(x, y)

@@ -447,6 +447,166 @@ class ShardedSumOfProductsOracle(SumcheckOracle):
         return Fr(total % MODULUS)
 
 
+def sharded_sopd_evals_step(mesh: Mesh, num_tables: int, term_idxs,
+                            npts: int, axis: str = "data"):
+    """Jitted sharded GENERIC-DEGREE sum-of-products round evaluations
+    (the bit-column protocols' j-phase): shard-local partial sums at
+    X = 0..npts-1 + one exact psum."""
+    from ..poly import mle_jax
+
+    num_terms = len(term_idxs)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            tuple([P(None, axis)] * num_tables),
+            tuple([P(None, None)] * num_terms),
+        ),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    def step(tables, coeffs):
+        local = mle_jax.sum_of_products_round_evals_d(
+            list(tables), list(coeffs), term_idxs, npts
+        )
+        return psum_field(local, axis)
+
+    return jax.jit(step)
+
+
+class ShardedSopOracleD(SumcheckOracle):
+    """Multi-chip GENERIC-DEGREE sum-of-products oracle — the bit-column
+    sound protocols' j-phase (tnsh.protocols.twist_bits, round degree
+    logK+3) on a device mesh.
+
+    Identical discipline to ``ShardedSumOfProductsOracle``: tables
+    block-sharded on lanes, rounds shard-local + one exact psum, folds
+    communication-free; after ``max_sharded_rounds`` binds (compile
+    budget) or once shards would drop below 2 lanes, the tail delegates
+    to the host generic-degree oracle (native C++ when available) built
+    from the folded tables.  Proofs are bit-identical to the host
+    oracle's in every configuration (virtual-mesh tested; exact
+    arithmetic end to end)."""
+
+    def __init__(self, num_vars: int, terms, degree: int,
+                 mesh: Mesh = None, axis: str = "data",
+                 max_sharded_rounds: int = None):
+        from ..field.fr import MODULUS, Fr
+        from ..iop.sumcheck import SumCheckError
+        from ..poly import mle_jax
+
+        self._m = mle_jax
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = axis
+        self.n_devices = int(
+            np.prod([self.mesh.shape[a] for a in self.mesh.axis_names])
+        )
+        self.num_vars = num_vars
+        size = 1 << num_vars
+        shard = NamedSharding(self.mesh, P(None, axis))
+        tables = []
+        coeffs = []
+        idxs_list = []
+        seen = {}
+        max_deg = 1
+        for coeff, tabs in terms:
+            idxs = []
+            for t in tabs:
+                key = id(t)
+                if key not in seen:
+                    if len(t) != size:
+                        raise SumCheckError("table size mismatch")
+                    seen[key] = len(tables)
+                    tables.append(
+                        jax.device_put(
+                            jnp.asarray(
+                                mle_jax.pack_mle(
+                                    [Fr(int(v) % MODULUS) for v in t]
+                                )
+                            ),
+                            shard,
+                        )
+                    )
+                idxs.append(seen[key])
+            coeffs.append(
+                jnp.asarray(
+                    mle_jax.pack_fr_scalar(Fr(int(coeff) % MODULUS))
+                )
+            )
+            idxs_list.append(tuple(idxs))
+            max_deg = max(max_deg, len(idxs))
+        if not idxs_list:
+            raise SumCheckError("ShardedSopOracleD needs a term")
+        if degree < max_deg:
+            raise SumCheckError("declared degree below term degree")
+        self.degree = degree
+        self.tables = tuple(tables)
+        self._coeffs = tuple(coeffs)
+        self._idxs = tuple(idxs_list)
+        self._max_sharded = max_sharded_rounds
+        self._rounds = 0
+        self._host = None
+        self._evals_fn = sharded_sopd_evals_step(
+            self.mesh, len(tables), self._idxs, degree + 1, axis
+        )
+        self._fold_fn = sharded_fold_step(self.mesh, len(tables), axis)
+
+    def _would_shard(self, rounds_done: int) -> bool:
+        if self._max_sharded is not None and rounds_done >= self._max_sharded:
+            return False
+        return self.tables[0].shape[1] >= 2 * self.n_devices
+
+    def _build_host(self):
+        """Exact host tail oracle (native generic-degree sop when
+        available) from the current folded tables."""
+        from ..iop.sumcheck_d import make_sopd_oracle
+
+        lists = [
+            [int(v) for v in self._m.unpack_fr(t)] for t in self.tables
+        ]
+        terms = [
+            (int(self._m.unpack_fr(c)[0]), [lists[i] for i in idxs])
+            for c, idxs in zip(self._coeffs, self._idxs)
+        ]
+        self._host = make_sopd_oracle(
+            self.num_vars - self._rounds, terms, self.degree
+        )
+
+    def round_evaluations(self, round_index: int):
+        if self._host is not None:
+            return self._host.round_evaluations(round_index)
+        if self._would_shard(self._rounds):
+            evals = self._evals_fn(self.tables, self._coeffs)
+            return self._m.unpack_fr(evals)
+        self._build_host()
+        return self._host.round_evaluations(round_index)
+
+    def bind(self, challenge) -> None:
+        if self._host is None and self._would_shard(self._rounds + 1):
+            r = jnp.asarray(self._m.pack_fr_scalar(challenge))
+            self.tables = self._fold_fn(self.tables, r)
+        else:
+            if self._host is None:
+                self._build_host()
+            self._host.bind(challenge)
+        self._rounds += 1
+
+    def final_evaluation(self, challenges):
+        if self._host is not None:
+            return self._host.final_evaluation(challenges)
+        from ..field.fr import MODULUS, Fr
+
+        finals = [int(self._m.unpack_fr(t)[0]) for t in self.tables]
+        total = 0
+        for coeff, idxs in zip(self._coeffs, self._idxs):
+            prod = int(self._m.unpack_fr(coeff)[0])
+            for f in idxs:
+                prod = prod * finals[f] % MODULUS
+            total += prod
+        return Fr(total % MODULUS)
+
+
 class ShardedSparseCubeOracle(SumcheckOracle):
     """Column-sharded sparse cube oracle — the sound provers' k-phase
     oracle (tnsh.iop.sparse_oracle) decomposed over the mesh axis.

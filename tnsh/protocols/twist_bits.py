@@ -205,7 +205,8 @@ class TwistBits:
 
         params_t, _ = setup_multilinear_params(log_t)
         columns = rb + wb + [ot, rv, wv, ic]
-        comms = [MultilinearKZG.commit(params_t, c) for c in columns]
+        # one burst: all 2logK+4 column MSMs dispatched together
+        comms = MultilinearKZG.commit_many(params_t, columns)
 
         transcript = Transcript(prover_params.fiat_shamir_seed)
         _bind_statement(transcript, log_k, log_t, comms)
@@ -477,7 +478,7 @@ class ShoutBits:
 
         params_t, _ = setup_multilinear_params(log_t)
         columns = rb + [rv]
-        comms = [MultilinearKZG.commit(params_t, c) for c in columns]
+        comms = MultilinearKZG.commit_many(params_t, columns)
 
         transcript = Transcript(prover_params.fiat_shamir_seed)
         _shout_bind_statement(transcript, log_k, log_t, entries, comms)
