@@ -114,6 +114,14 @@ def main() -> None:
         f"  tampered Val claim rejected: "
         f"{not TwistBits.verify(tbp, verifier_params)}"
     )
+    # committed-table Shout: the verifier sees a table COMMITMENT, not
+    # the entries — O(log K + log T) verification
+    from tnsh import ShoutBitsCommitted
+
+    tcomm = ShoutBitsCommitted.preprocess(stable.entries)
+    scp = ShoutBitsCommitted.prove(stable, prover_params)
+    ok = ShoutBitsCommitted.verify(scp, tcomm, verifier_params)
+    print(f"  ShoutBitsCommitted (log-verifier) proof valid: {ok}")
     print("\nDemo complete.")
 
 

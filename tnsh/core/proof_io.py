@@ -396,6 +396,48 @@ def shout_bits_proof_from_bytes(data: bytes):
     )
 
 
+def shout_bits_comm_proof_to_bytes(proof) -> bytes:
+    """Committed-table Shout (magic SHBC): like SHBT plus the opened
+    table value and its PST opening; the table commitment itself is the
+    VERIFIER'S input and is not part of the proof."""
+    out = [b"SHBC", struct.pack("<I", _BITS_VERSION)]
+    out.append(struct.pack("<QQ", proof.log_table, proof.log_lookups))
+    out.append(_write_comms(proof.column_commitments))
+    out.append(sumcheck_d_proof_to_bytes(proof.check))
+    out.append(write_fr_vec(proof.values_rj))
+    out.append(proof.t_value.to_bytes_le())
+    out.append(_ml_proof_to_bytes(proof.proof_rj))
+    out.append(_ml_proof_to_bytes(proof.proof_t))
+    return b"".join(out)
+
+
+def shout_bits_comm_proof_from_bytes(data: bytes):
+    from ..protocols.twist_bits import ShoutBitsCommProof
+
+    _check_bits_header(b"SHBC", data)
+    offset = 8
+    log_table, log_lookups = struct.unpack_from("<QQ", data, offset)
+    offset += 16
+    _check_log_fields(log_table=log_table, log_lookups=log_lookups)
+    comms, offset = _read_comms(data, offset)
+    check, offset = sumcheck_d_proof_from_bytes(data, offset)
+    values_rj, offset = read_fr_vec(data, offset)
+    t_value = fr_from_bytes(data[offset:offset + 32])
+    offset += 32
+    proof_rj, offset = _ml_proof_from_bytes(data, offset)
+    proof_t, offset = _ml_proof_from_bytes(data, offset)
+    return ShoutBitsCommProof(
+        log_table=log_table,
+        log_lookups=log_lookups,
+        column_commitments=comms,
+        check=check,
+        values_rj=values_rj,
+        t_value=t_value,
+        proof_rj=proof_rj,
+        proof_t=proof_t,
+    )
+
+
 def shout_sound_proof_from_bytes(data: bytes):
     from ..protocols.sound import ShoutSoundProof
 

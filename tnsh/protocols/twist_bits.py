@@ -455,26 +455,8 @@ class ShoutBits:
 
     @staticmethod
     def prove(table, prover_params: ProverParams) -> ShoutBitsProof:
-        entries = [int(e) % _P for e in table.entries]
-        if not entries:
-            raise InvalidParametersError("ShoutBits needs a non-empty table")
-        k_size = _next_power_of_two(len(entries))
-        entries = entries + [0] * (k_size - len(entries))
-        log_k = max(k_size.bit_length() - 1, 1)
-        k_size = 1 << log_k
-        entries = entries + [0] * (k_size - len(entries))
-        ops = list(table.lookups)
-        t_size = _next_power_of_two(max(len(ops), 1))
-        log_t = t_size.bit_length() - 1
-
-        rb = [[0] * t_size for _ in range(log_k)]
-        rv = [0] * t_size
-        for j in range(t_size):
-            idx = ops[j].index if j < len(ops) else 0
-            val = int(ops[j].value) % _P if j < len(ops) else entries[0]
-            for i in range(log_k):
-                rb[i][j] = (idx >> i) & 1
-            rv[j] = val
+        (entries, log_k, k_size, log_t, t_size, rb, rv
+         ) = _shout_comm_columns(table)
 
         params_t, _ = setup_multilinear_params(log_t)
         columns = rb + [rv]
@@ -484,49 +466,18 @@ class ShoutBits:
         _shout_bind_statement(transcript, log_k, log_t, entries, comms)
         rho1, rhob, alpha = _shout_challenges(transcript, log_k, log_t)
 
-        import os
-
         a_pow = _alpha_powers(alpha, 1 + log_k)
         kinv = _kinv(log_k)
         n = log_k + log_t
         eq1 = eq_table(rho1)
         eqb = eq_table(rhob)
         degree = log_k + 2
-        if os.environ.get("TNSH_BITS_DENSE"):
-            # dense cube construction (cross-check / reference path)
-            eq1_l = _lift_j(eq1, k_size)
-            eqb_l = _lift_j(eqb, k_size)
-            rv_l = _lift_j(rv, k_size)
-            tab_l = list(entries) * t_size  # k-lift
-            chi_r = [_chi_cube(rb[i], k_size, i) for i in range(log_k)]
-            rb_l = [_lift_j(c, k_size) for c in rb]
-            terms = [
-                (1, [eq1_l] + chi_r + [tab_l]),
-                (_P - kinv, [eq1_l, rv_l]),
-            ]
-            for i, col in enumerate(rb_l):
-                w = a_pow[1 + i] * kinv % _P
-                terms.append((w, [eqb_l, col, col]))
-                terms.append((_P - w, [eqb_l, col]))
-            oracle = _make_oracle(n, terms, degree)
-        else:
-            # structured O(T logK) oracle: no cube is ever built
-            # (bit-identical proofs; tests pin the equality)
-            from ..iop.bits_oracle import ShoutBitsSparseOracle
-
-            sparse_terms = [
-                (1, [eq1], rb, entries),
-                (_P - kinv, [eq1, rv], None, None),
-            ]
-            for i in range(log_k):
-                w = a_pow[1 + i] * kinv % _P
-                sparse_terms.append((w, [eqb, rb[i], rb[i]], None, None))
-                sparse_terms.append(
-                    (_P - w, [eqb, rb[i]], None, None)
-                )
-            oracle = ShoutBitsSparseOracle(
-                log_k, log_t, sparse_terms, degree
-            )
+        # structured O(T logK) oracle by default, dense cube under
+        # TNSH_BITS_DENSE — bit-identical proofs (tests pin it)
+        oracle = _shout_build_oracle(
+            log_k, log_t, k_size, entries, rb, rv, eq1, eqb, a_pow, kinv,
+            degree,
+        )
         check, r = SumCheckD(n, Fr(0), degree).prove_with_challenges(
             oracle, transcript
         )
@@ -618,6 +569,254 @@ class ShoutBits:
             (vk_t, comm, r_j,
              Fr(_rlc_values(proof.values_rj, g)), proof.proof_rj),
         ])
+
+
+@dataclass
+class ShoutBitsCommProof:
+    """Wire version 3 (magic SHBC): committed-table sound Shout.
+
+    The verifier's table input is a PST COMMITMENT, not the entries —
+    verification is O(logK + logT) group/field work (the plain
+    :class:`ShoutBitsProof` verifier pads and binds the full table and
+    evaluates T~(r_k) densely, O(K)).  The table commitment itself is
+    public preprocessing: anyone can recompute it once from the public
+    table with :meth:`ShoutBits.preprocess` and cache it."""
+
+    log_table: int
+    log_lookups: int
+    #: rb_0..rb_{logK-1}, rv
+    column_commitments: List[KZGCommitmentValue]
+    #: the batched claim-0 constraint sum-check over (k, j)
+    check: SumCheckDProof
+    #: committed-column values at r_j: rb_i, rv
+    values_rj: List[Fr]
+    #: T~(r_k), opened against the table commitment
+    t_value: Fr
+    #: gamma-RLC PST opening of all columns at r_j
+    proof_rj: MLOpeningProof
+    #: PST opening of the table commitment at r_k
+    proof_t: MLOpeningProof
+
+
+def _shout_comm_columns(table):
+    """(entries, log_k, k_size, log_t, t_size, rb, rv) — the committed
+    column material shared by prove and prove_committed."""
+    entries = [int(e) % _P for e in table.entries]
+    if not entries:
+        raise InvalidParametersError("ShoutBits needs a non-empty table")
+    k_size = _next_power_of_two(len(entries))
+    entries = entries + [0] * (k_size - len(entries))
+    log_k = max(k_size.bit_length() - 1, 1)
+    k_size = 1 << log_k
+    entries = entries + [0] * (k_size - len(entries))
+    ops = list(table.lookups)
+    t_size = _next_power_of_two(max(len(ops), 1))
+    log_t = t_size.bit_length() - 1
+    rb = [[0] * t_size for _ in range(log_k)]
+    rv = [0] * t_size
+    for j in range(t_size):
+        idx = ops[j].index if j < len(ops) else 0
+        val = int(ops[j].value) % _P if j < len(ops) else entries[0]
+        for i in range(log_k):
+            rb[i][j] = (idx >> i) & 1
+        rv[j] = val
+    return entries, log_k, k_size, log_t, t_size, rb, rv
+
+
+def _shout_build_oracle(log_k, log_t, k_size, entries, rb, rv,
+                        eq1, eqb, a_pow, kinv, degree):
+    """The phase-A oracle for the Shout statement (structured by default,
+    dense cube under TNSH_BITS_DENSE) — shared verbatim by prove and
+    prove_committed so their sum-checks are the same polynomial system."""
+    import os
+
+    n = log_k + log_t
+    if os.environ.get("TNSH_BITS_DENSE"):
+        eq1_l = _lift_j(eq1, k_size)
+        eqb_l = _lift_j(eqb, k_size)
+        rv_l = _lift_j(rv, k_size)
+        tab_l = list(entries) * (1 << log_t)
+        chi_r = [_chi_cube(rb[i], k_size, i) for i in range(log_k)]
+        rb_l = [_lift_j(c, k_size) for c in rb]
+        terms = [
+            (1, [eq1_l] + chi_r + [tab_l]),
+            (_P - kinv, [eq1_l, rv_l]),
+        ]
+        for i, col in enumerate(rb_l):
+            w = a_pow[1 + i] * kinv % _P
+            terms.append((w, [eqb_l, col, col]))
+            terms.append((_P - w, [eqb_l, col]))
+        return _make_oracle(n, terms, degree)
+    from ..iop.bits_oracle import ShoutBitsSparseOracle
+
+    sparse_terms = [
+        (1, [eq1], rb, entries),
+        (_P - kinv, [eq1, rv], None, None),
+    ]
+    for i in range(log_k):
+        w = a_pow[1 + i] * kinv % _P
+        sparse_terms.append((w, [eqb, rb[i], rb[i]], None, None))
+        sparse_terms.append((_P - w, [eqb, rb[i]], None, None))
+    return ShoutBitsSparseOracle(log_k, log_t, sparse_terms, degree)
+
+
+class ShoutBitsCommitted:
+    """Committed-table Shout: O(logK + logT) verifier (tnsh extension).
+
+    ``preprocess`` commits the public table once (deterministic given the
+    SRS); ``prove``/``verify`` then exchange only the commitment.  The
+    lookup statement, challenges, and sum-check mirror :class:`ShoutBits`
+    with distinct Fiat-Shamir labels ("sbitc_*"), so the two proof
+    families can never be replayed against each other."""
+
+    @staticmethod
+    def preprocess(table_entries: Sequence[Fr]) -> KZGCommitmentValue:
+        entries = [int(e) % _P for e in table_entries]
+        if not entries:
+            raise InvalidParametersError("empty table")
+        k_size = _next_power_of_two(len(entries))
+        log_k = max(k_size.bit_length() - 1, 1)
+        k_size = 1 << log_k
+        entries = entries + [0] * (k_size - len(entries))
+        params_k, _ = setup_multilinear_params(log_k)
+        return MultilinearKZG.commit(params_k, entries)
+
+    @staticmethod
+    def prove(table, prover_params: ProverParams) -> ShoutBitsCommProof:
+        (entries, log_k, k_size, log_t, t_size, rb, rv
+         ) = _shout_comm_columns(table)
+        params_t, _ = setup_multilinear_params(log_t)
+        params_k, _ = setup_multilinear_params(log_k)
+        columns = rb + [rv]
+        comms = MultilinearKZG.commit_many(params_t, columns)
+        t_comm = MultilinearKZG.commit(params_k, entries)
+
+        transcript = Transcript(prover_params.fiat_shamir_seed)
+        _shoutc_bind_statement(transcript, log_k, log_t, t_comm, comms)
+        rho1, rhob, alpha = _shoutc_challenges(transcript, log_k, log_t)
+
+        a_pow = _alpha_powers(alpha, 1 + log_k)
+        kinv = _kinv(log_k)
+        n = log_k + log_t
+        eq1 = eq_table(rho1)
+        eqb = eq_table(rhob)
+        degree = log_k + 2
+        oracle = _shout_build_oracle(
+            log_k, log_t, k_size, entries, rb, rv, eq1, eqb, a_pow, kinv,
+            degree,
+        )
+        check, r = SumCheckD(n, Fr(0), degree).prove_with_challenges(
+            oracle, transcript
+        )
+        r_k, r_j = r[:log_k], r[log_k:]
+
+        values_rj = _mle_eval_many(columns, r_j)
+        t_value = Fr(_mle_eval(entries, r_k))
+        transcript.append_field_elements(b"sbitc_values_rj", values_rj)
+        transcript.append_field_element(b"sbitc_t_value", t_value)
+        gamma = transcript.challenge_field_element(b"sbitc_gamma")
+        g = int(gamma)
+        rlc = _rlc_tables(columns, g)
+        val_rj, proof_rj = MultilinearKZG.open(params_t, rlc, r_j)
+        tv, proof_t = MultilinearKZG.open(params_k, entries, r_k)
+        assert int(val_rj) == _rlc_values(values_rj, g)
+        assert int(tv) == int(t_value)
+
+        return ShoutBitsCommProof(
+            log_table=log_k,
+            log_lookups=log_t,
+            column_commitments=comms,
+            check=check,
+            values_rj=values_rj,
+            t_value=t_value,
+            proof_rj=proof_rj,
+            proof_t=proof_t,
+        )
+
+    @staticmethod
+    def verify(proof: ShoutBitsCommProof,
+               table_commitment: KZGCommitmentValue,
+               verifier_params: VerifierParams) -> bool:
+        from ..core.proof_io import MAX_LOG_SIZE
+
+        log_k, log_t = proof.log_table, proof.log_lookups
+        if not (1 <= log_k <= MAX_LOG_SIZE and 0 <= log_t <= MAX_LOG_SIZE):
+            return False
+        n = log_k + log_t
+        if len(proof.column_commitments) != log_k + 1:
+            return False
+        if len(proof.values_rj) != log_k + 1:
+            return False
+
+        transcript = Transcript(verifier_params.fiat_shamir_seed)
+        _shoutc_bind_statement(
+            transcript, log_k, log_t, table_commitment,
+            proof.column_commitments,
+        )
+        rho1, rhob, alpha = _shoutc_challenges(transcript, log_k, log_t)
+
+        degree = log_k + 2
+        ok, r = SumCheckD(n, Fr(0), degree).verify(proof.check, transcript)
+        if not ok:
+            return False
+        r_k, r_j = r[:log_k], r[log_k:]
+
+        vals = [int(v) % _P for v in proof.values_rj]
+        v_rb, v_rv = vals[:log_k], vals[log_k]
+        a_pow = _alpha_powers(alpha, 1 + log_k)
+        kinv = _kinv(log_k)
+        e1 = int(eq_eval(rho1, r_j))
+        eb = int(eq_eval(rhob, r_j))
+        ra_r = 1
+        for i in range(log_k):
+            ra_r = ra_r * _chi_scalar(int(r_k[i]), v_rb[i]) % _P
+        want = (
+            e1 * ra_r % _P * int(proof.t_value)
+            - kinv * e1 % _P * v_rv
+        ) % _P
+        for i, b in enumerate(v_rb):
+            want = (
+                want
+                + a_pow[1 + i] * kinv % _P * eb % _P * b % _P
+                * ((b - 1) % _P)
+            ) % _P
+        if int(proof.check.final_evaluation) != want:
+            return False
+
+        transcript.append_field_elements(b"sbitc_values_rj",
+                                         list(proof.values_rj))
+        transcript.append_field_element(b"sbitc_t_value", proof.t_value)
+        gamma = transcript.challenge_field_element(b"sbitc_gamma")
+        g = int(gamma)
+        vk_t = multilinear_verification_key(log_t)
+        vk_k = multilinear_verification_key(log_k)
+        comm = _rlc_commitments(proof.column_commitments, g)
+        return batch_verify_openings([
+            (vk_t, comm, r_j,
+             Fr(_rlc_values(proof.values_rj, g)), proof.proof_rj),
+            (vk_k, table_commitment, r_k, proof.t_value, proof.proof_t),
+        ])
+
+
+def _shoutc_bind_statement(transcript: Transcript, log_k: int, log_t: int,
+                           t_comm: KZGCommitmentValue,
+                           comms: Sequence[KZGCommitmentValue]) -> None:
+    transcript.append_field_element(b"sbitc_version", Fr(3))
+    transcript.append_field_element(b"sbitc_log_table", Fr(log_k))
+    transcript.append_field_element(b"sbitc_log_lookups", Fr(log_t))
+    transcript.append_field_element(b"sbitc_table_commitment",
+                                    t_comm.hash())
+    for idx, c in enumerate(comms):
+        transcript.append_field_element(
+            b"sbitc_col_commitment_%d" % idx, c.hash()
+        )
+
+
+def _shoutc_challenges(transcript: Transcript, log_k: int, log_t: int):
+    rho1 = transcript.challenge_field_elements(b"sbitc_rho_read", log_t)
+    rhob = transcript.challenge_field_elements(b"sbitc_rho_bool", log_t)
+    alpha = transcript.challenge_field_element(b"sbitc_alpha")
+    return rho1, rhob, alpha
 
 
 def _shout_bind_statement(transcript: Transcript, log_k: int, log_t: int,
