@@ -1326,6 +1326,26 @@ void fr_ml_open(const uint8_t *evals, size_t size, const uint8_t *point,
 struct SopTerm {
     u64 coeff[4];  // Montgomery
     std::vector<int> factors;
+    bool r0_skip = false;  // handled by the round-0 booleanity fast path
+};
+
+// Round-0 booleanity fast path (round-5): while every table still holds
+// its original un-folded values, a BOOLEAN column c makes the
+// booleanity-check contribution collapse per lane pair to
+//
+//   w * eqb(X) * (X^2 - X) * [lo != hi]
+//
+// because c_X = lo + X(hi - lo) with lo, hi in {0, 1} gives
+// c_X (c_X - 1) = X^2 - X when the pair differs and 0 when it does not
+// (both orientations: X(X-1) and (1-X)(-X) are the same polynomial).
+// The per-term per-X field values are EXACTLY those of the generic
+// product path, so the round-eval sums are bit-identical — only the
+// association of the exact field additions changes.  Valid only for the
+// FIRST round on a freshly built handle (folding destroys boolness);
+// sop_bind clears the flag.
+struct SopBoolR0 {
+    int c_idx;
+    u64 w[4];  // Montgomery
 };
 
 struct SopState {
@@ -1337,6 +1357,11 @@ struct SopState {
     // degree, npts-1) over the terms using it): low-degree-only tables
     // (booleanity checks) skip most of the per-pair extension adds
     std::vector<int> need_x;
+    // round-0 booleanity fast path state (see SopBoolR0)
+    std::vector<SopBoolR0> r0_bool;
+    std::vector<char> r0_skip_ext;  // per table: no X-extension in round 0
+    int r0_eqb = -1;
+    bool r0_fresh = false;
     void compute_need() {
         need_x.assign(tables.size(), 1);
         for (const SopTerm &t : terms) {
@@ -1349,6 +1374,94 @@ struct SopState {
 };
 
 static std::vector<SopState *> g_sop_store;
+
+static bool sop_tab_is_bool(const std::vector<u64> &tab, size_t size) {
+    for (size_t i = 0; i < size; i++) {
+        const u64 *v = &tab[4 * i];
+        if (!is_zero4(v) && memcmp(v, FR.one, 32) != 0) return false;
+    }
+    return true;
+}
+
+static bool sop_tab_is_minus1(const std::vector<u64> &c,
+                              const std::vector<u64> &m, size_t size) {
+    for (size_t i = 0; i < size; i++) {
+        u64 t[4];
+        sub_mod(t, &c[4 * i], FR.one, FR);
+        if (memcmp(t, &m[4 * i], 32) != 0) return false;
+    }
+    return true;
+}
+
+// Recognize booleanity-check terms on a freshly built handle and arm the
+// round-0 fast path.  Two emitted shapes:
+//   {e, c, c-1}            single merged term   (tbk_make_sopd)
+//   {e, c, c} + -w {e, c}  unmerged pair        (sbk_make_sopd / Python)
+// The tables are VALIDATED (c boolean; companion == c-1 pointwise), so a
+// false structural match cannot change results; every registered term
+// must share one eqb table e (the fast path extends exactly one).
+static void sop_register_r0(SopState *so) {
+    so->r0_bool.clear();
+    so->r0_eqb = -1;
+    so->r0_fresh = false;
+    const size_t n = so->terms.size();
+    std::vector<char> skip(n, 0);
+    std::vector<signed char> memo(so->tables.size(), -1);
+    auto boolq = [&](int idx) {
+        if (memo[idx] < 0)
+            memo[idx] = sop_tab_is_bool(so->tables[idx], so->size) ? 1 : 0;
+        return memo[idx] == 1;
+    };
+    int eqb = -1;
+    std::vector<SopBoolR0> found;
+    for (size_t t = 0; t < n; t++) {
+        const SopTerm &tm = so->terms[t];
+        if (skip[t] || tm.factors.size() != 3) continue;
+        int e = tm.factors[0], c = tm.factors[1], m = tm.factors[2];
+        if (e == c || e == m) continue;
+        if (eqb >= 0 && e != eqb) continue;
+        if (c == m) {
+            // {e, c, c}: find the matching -w {e, c} companion
+            if (!boolq(c)) continue;
+            for (size_t t2 = 0; t2 < n; t2++) {
+                const SopTerm &tn = so->terms[t2];
+                if (skip[t2] || tn.factors.size() != 2) continue;
+                if (tn.factors[0] != e || tn.factors[1] != c) continue;
+                u64 negc[4];
+                neg_mod(negc, tm.coeff, FR);
+                if (memcmp(negc, tn.coeff, 32) != 0) continue;
+                SopBoolR0 bp;
+                bp.c_idx = c;
+                memcpy(bp.w, tm.coeff, 32);
+                found.push_back(bp);
+                skip[t] = skip[t2] = 1;
+                eqb = e;
+                break;
+            }
+        } else if (boolq(c)
+                   && sop_tab_is_minus1(so->tables[c], so->tables[m],
+                                        so->size)) {
+            SopBoolR0 bp;
+            bp.c_idx = c;
+            memcpy(bp.w, tm.coeff, 32);
+            found.push_back(bp);
+            skip[t] = 1;
+            eqb = e;
+        }
+    }
+    so->r0_fresh = true;  // data-dependent FD degree applies regardless
+    if (found.empty()) return;
+    so->r0_bool = std::move(found);
+    so->r0_eqb = eqb;
+    for (size_t t = 0; t < n; t++) so->terms[t].r0_skip = skip[t];
+    // tables read only by fast-pathed terms skip the round-0 X-extension
+    // (the fast path reads lo/hi straight from table storage)
+    so->r0_skip_ext.assign(so->tables.size(), 1);
+    so->r0_skip_ext[eqb] = 0;
+    for (size_t t = 0; t < n; t++)
+        if (!skip[t])
+            for (int f : so->terms[t].factors) so->r0_skip_ext[f] = 0;
+}
 
 // Reuse freed handle slots so long-running provers don't grow the stores
 // one pointer per oracle per proof (ADVICE round-2 item 2).
@@ -1431,18 +1544,21 @@ void sop_round_evals(int id, uint8_t *out) {
     size_t half = st->size / 2;
     size_t nt = st->tables.size();
     const int npts = st->npts;
+    const bool fast = st->r0_fresh && !st->r0_bool.empty();
     std::vector<u64> sums(4 * npts, 0);
 #ifdef _OPENMP
 #pragma omp parallel if (half >= 4096)
 #endif
     {
         std::vector<u64> local(4 * npts, 0);
+        std::vector<u64> bacc(4 * npts, 0);  // booleanity fast-path partials
         std::vector<u64> vals(nt * 4 * npts);  // per table: npts X-points
 #ifdef _OPENMP
 #pragma omp for schedule(static) nowait
 #endif
         for (size_t s = 0; s < half; s++) {
             for (size_t t = 0; t < nt; t++) {
+                if (fast && st->r0_skip_ext[t]) continue;
                 const u64 *lo = &st->tables[t][8 * s];
                 const u64 *hi = lo + 4;
                 u64 *v = &vals[4 * npts * t];
@@ -1451,14 +1567,30 @@ void sop_round_evals(int id, uint8_t *out) {
                 u64 d[4];
                 sub_mod(d, hi, lo, FR);
                 int top = st->need_x.empty() ? npts - 1 : st->need_x[t];
+                if (fast && (int)t == st->r0_eqb) top = npts - 1;
                 for (int x = 2; x <= top; x++)
                     add_mod(&v[4 * x], &v[4 * (x - 1)], d, FR);
             }
             // per term: direct products at x <= term degree, then
             // forward-difference extension (d adds/point, not d muls)
             for (const SopTerm &term : st->terms) {
+                if (fast && term.r0_skip) continue;
                 int d = (int)term.factors.size();
                 if (d >= npts) d = npts - 1;
+                if (st->r0_fresh && d > 4) {
+                    // data-dependent degree (round 0 only): each factor's
+                    // pair polynomial lo + X(hi-lo) is linear, so the
+                    // product's true degree is the count of factors whose
+                    // pair differs — on fresh bit/chi tables many pairs
+                    // are constant, and FD extension from degree dt is
+                    // exact (dt adds/point replace nf muls/point)
+                    int dt = 0;
+                    for (int f : term.factors) {
+                        const u64 *lo = &st->tables[f][8 * s];
+                        if (memcmp(lo, lo + 4, 32)) dt++;
+                    }
+                    if (dt < d) d = dt;
+                }
                 u64 fv[FD_MAX][4];
                 for (int x = 0; x <= d; x++) {
                     u64 prod[4];
@@ -1477,6 +1609,35 @@ void sop_round_evals(int id, uint8_t *out) {
                                 FR);
                     }
                 }
+            }
+            if (fast) {
+                // booleanity terms: S = sum of weights whose boolean
+                // column differs across this pair; the x-dependence is
+                // the shared eqb extension times (x^2 - x), applied to
+                // bacc once per round below
+                u64 S[4] = {0, 0, 0, 0};
+                for (const SopBoolR0 &bp : st->r0_bool) {
+                    const u64 *lo = &st->tables[bp.c_idx][8 * s];
+                    if (memcmp(lo, lo + 4, 32))
+                        add_mod(S, S, bp.w, FR);
+                }
+                if (!is_zero4(S)) {
+                    const u64 *ev = &vals[4 * npts * st->r0_eqb];
+                    for (int x = 2; x < npts; x++) {
+                        u64 m[4];
+                        mmul(m, S, &ev[4 * x], FR);
+                        add_mod(&bacc[4 * x], &bacc[4 * x], m, FR);
+                    }
+                }
+            }
+        }
+        if (fast) {
+            for (int x = 2; x < npts; x++) {
+                u64 raw[4] = {(u64)x * (u64)(x - 1), 0, 0, 0};
+                u64 u[4];
+                to_mont(u, raw, FR);
+                mmul(u, u, &bacc[4 * x], FR);
+                add_mod(&local[4 * x], &local[4 * x], u, FR);
             }
         }
 #ifdef _OPENMP
@@ -1501,11 +1662,13 @@ int sopd_create(const uint8_t *tables, size_t num_tables, size_t size,
     int id = sop_create(tables, num_tables, size, spec, num_terms, coeffs);
     g_sop_store[id]->npts = npts;
     g_sop_store[id]->compute_need();
+    sop_register_r0(g_sop_store[id]);
     return id;
 }
 
 void sop_bind(int id, const uint8_t *r_bytes) {
     SopState *st = g_sop_store[id];
+    st->r0_fresh = false;  // folding destroys the boolean structure
     u64 raw[4], r[4];
     bytes_to_limbs(raw, r_bytes);
     to_mont(r, raw, FR);
@@ -3386,6 +3549,11 @@ struct TbkState {
     std::vector<u64> apow;              // alpha powers (Mont), >= 2+2logk+1
     u64 kinv[4];                        // 1/K (Mont)
     std::vector<u64> chal_r, chal_om;   // 4 limbs per bound k challenge
+    // -kinv * sum_j eq1[j] rv[j] (Mont), cached across the k rounds —
+    // the j tables never fold during the k phase, so the lift sum is
+    // invariant (only the 2^free scaling changes per round)
+    u64 rv_lift[4];
+    bool rv_lift_ok = false;
 };
 
 static std::vector<TbkState *> g_tbk_store;
@@ -3484,28 +3652,33 @@ void tbk_round_evals(int id, uint8_t *out) {
     const u64 *a1 = &st->apow[4];
 
     // rv lift term: -kinv * sum_j eq1[j] * rv[j], times 2^free
-    u64 lift[4] = {0, 0, 0, 0};
+    if (!st->rv_lift_ok) {
+        u64 lift0[4] = {0, 0, 0, 0};
 #ifdef _OPENMP
 #pragma omp parallel if (t >= 16384)
 #endif
-    {
-        u64 local[4] = {0, 0, 0, 0};
+        {
+            u64 local[4] = {0, 0, 0, 0};
 #ifdef _OPENMP
 #pragma omp for schedule(static) nowait
 #endif
-        for (long long j = 0; j < (long long)t; j++) {
-            u64 v[4];
-            mmul(v, &st->eq1[4 * j], &st->rv[4 * j], FR);
-            add_mod(local, local, v, FR);
-        }
+            for (long long j = 0; j < (long long)t; j++) {
+                u64 v[4];
+                mmul(v, &st->eq1[4 * j], &st->rv[4 * j], FR);
+                add_mod(local, local, v, FR);
+            }
 #ifdef _OPENMP
 #pragma omp critical
 #endif
-        add_mod(lift, lift, local, FR);
+            add_mod(lift0, lift0, local, FR);
+        }
+        mmul(lift0, lift0, st->kinv, FR);
+        neg_mod(lift0, lift0, FR);
+        memcpy(st->rv_lift, lift0, 32);
+        st->rv_lift_ok = true;
     }
-    mmul(lift, lift, st->kinv, FR);
-    mmul(lift, lift, pow_free, FR);
-    neg_mod(lift, lift, FR);
+    u64 lift[4];
+    mmul(lift, st->rv_lift, pow_free, FR);
 
     std::vector<u64> acc(4 * npts);
     for (int x = 0; x < npts; x++) memcpy(&acc[4 * x], lift, 32);
@@ -3807,6 +3980,7 @@ int tbk_make_sopd(int id) {
         add_term(w, {i_eqb, i_bool[m], i_bm1[m]});
     }
     so->compute_need();
+    sop_register_r0(so);
     return store_put(g_sop_store, so);
 }
 
@@ -3850,6 +4024,7 @@ int tbk_phase_b(int id, const uint8_t *lt_col, uint8_t *out_v_val) {
     from_mont(s, acc, FR);
     limbs_to_bytes(out_v_val, s);
     so->compute_need();
+    sop_register_r0(so);
     return store_put(g_sop_store, so);
 }
 
@@ -3869,6 +4044,12 @@ struct SbkTerm {
     std::vector<int> jt;      // j-table factor indices
     int addr_idx;             // -1: j-lifted constant term
     int kt_idx;               // -1: no k table
+    // k-phase shortcuts (computed once at create):
+    bool zero_lift = false;   // booleanity pair summing to 0 identically
+    bool lift_cached = false; // lifted sum below is valid
+    u64 lift_sum[4];          // sum_j coeff * prod jt[j] (Mont) — the j
+                              // tables never fold during the k phase, so
+                              // lifted sums are round-invariant
 };
 
 struct SbkState {
@@ -3929,6 +4110,38 @@ int sbk_create(int log_k, int log_t, const uint8_t *jt_blob, size_t n_jt,
         tm.kt_idx = spec[off++];
         st->terms.push_back(tm);
     }
+    // Booleanity-check pairs {e,c,c} + -w {e,c} with a VERIFIED boolean
+    // column c sum to w * e_j * (c_j^2 - c_j) = 0 for every j, every k
+    // round (j tables never fold during the k phase) — skip both terms.
+    {
+        std::vector<signed char> memo(st->jt.size(), -1);
+        auto boolq = [&](int idx) {
+            if (memo[idx] < 0)
+                memo[idx] = sop_tab_is_bool(st->jt[idx], t) ? 1 : 0;
+            return memo[idx] == 1;
+        };
+        for (size_t i = 0; i < st->terms.size(); i++) {
+            SbkTerm &t1 = st->terms[i];
+            if (t1.zero_lift || t1.addr_idx >= 0 || t1.kt_idx >= 0)
+                continue;
+            if (t1.jt.size() != 3 || t1.jt[1] != t1.jt[2]
+                    || t1.jt[0] == t1.jt[1] || !boolq(t1.jt[1]))
+                continue;
+            for (size_t j2 = 0; j2 < st->terms.size(); j2++) {
+                SbkTerm &t2 = st->terms[j2];
+                if (t2.zero_lift || t2.addr_idx >= 0 || t2.kt_idx >= 0)
+                    continue;
+                if (t2.jt.size() != 2 || t2.jt[0] != t1.jt[0]
+                        || t2.jt[1] != t1.jt[1])
+                    continue;
+                u64 negc[4];
+                neg_mod(negc, t1.coeff, FR);
+                if (memcmp(negc, t2.coeff, 32) != 0) continue;
+                t1.zero_lift = t2.zero_lift = true;
+                break;
+            }
+        }
+    }
     return store_put(g_sbk_store, st);
 }
 
@@ -3942,30 +4155,36 @@ void sbk_round_evals(int id, uint8_t *out) {
     u64 pow_free[4];
     tbk_pow2(pow_free, st->log_k - st->round - 1);
     std::vector<u64> acc(4 * npts, 0);
-    for (const SbkTerm &tm : st->terms) {
+    for (SbkTerm &tm : st->terms) {
         if (tm.addr_idx < 0) {
-            u64 s[4] = {0, 0, 0, 0};
+            if (tm.zero_lift) continue;  // identically 0 (see sbk_create)
+            if (!tm.lift_cached) {
+                u64 s0[4] = {0, 0, 0, 0};
 #ifdef _OPENMP
 #pragma omp parallel if (t >= 16384)
 #endif
-            {
-                u64 local[4] = {0, 0, 0, 0};
+                {
+                    u64 local[4] = {0, 0, 0, 0};
 #ifdef _OPENMP
 #pragma omp for schedule(static) nowait
 #endif
-                for (long long j = 0; j < (long long)t; j++) {
-                    u64 prod[4];
-                    memcpy(prod, tm.coeff, 32);
-                    for (int f : tm.jt)
-                        mmul(prod, prod, &st->jt[f][4 * j], FR);
-                    add_mod(local, local, prod, FR);
-                }
+                    for (long long j = 0; j < (long long)t; j++) {
+                        u64 prod[4];
+                        memcpy(prod, tm.coeff, 32);
+                        for (int f : tm.jt)
+                            mmul(prod, prod, &st->jt[f][4 * j], FR);
+                        add_mod(local, local, prod, FR);
+                    }
 #ifdef _OPENMP
 #pragma omp critical
 #endif
-                add_mod(s, s, local, FR);
+                    add_mod(s0, s0, local, FR);
+                }
+                memcpy(tm.lift_sum, s0, 32);
+                tm.lift_cached = true;
             }
-            mmul(s, s, pow_free, FR);
+            u64 s[4];
+            mmul(s, tm.lift_sum, pow_free, FR);
             for (int x = 0; x < npts; x++)
                 add_mod(&acc[4 * x], &acc[4 * x], s, FR);
             continue;
@@ -4111,6 +4330,7 @@ int sbk_make_sopd(int id) {
         so->terms.push_back(ot);
     }
     so->compute_need();
+    sop_register_r0(so);
     return store_put(g_sop_store, so);
 }
 

@@ -141,6 +141,29 @@ def _chi_scalar(r_ki: int, b: int) -> int:
     return ((1 - r_ki) * ((1 - b) % _P) + r_ki * (b % _P)) % _P
 
 
+def _stage_profiler(label: str):
+    """Env-gated (TNSH_PROFILE=1) stage timer: returns ``prof(name)`` which
+    prints the wall-clock since the previous call to stderr.  Zero-cost
+    no-op by default; used to attribute prove time at scale (PERF_NOTES
+    round-5 cost splits)."""
+    import os
+
+    if not os.environ.get("TNSH_PROFILE"):
+        return lambda _name: None
+    import sys
+    import time
+
+    state = {"t": time.perf_counter()}
+
+    def prof(name: str) -> None:
+        now = time.perf_counter()
+        print(f"[profile] {label}/{name}: {now - state['t']:.3f} s",
+              file=sys.stderr)
+        state["t"] = now
+
+    return prof
+
+
 def _make_oracle(num_vars: int, terms, degree: int):
     """Generic-degree sop oracle routing: native C++ by default, the
     JAX/Pallas device oracle via TNSH_BITS_FORCE_JAX=1 (or automatically
@@ -167,6 +190,7 @@ class TwistBits:
         t_size = _next_power_of_two(max(len(ops), 1))
         log_t = t_size.bit_length() - 1
         dense = bool(os.environ.get("TNSH_BITS_DENSE"))
+        prof = _stage_profiler("TwistBits.prove")
 
         # --- committed columns by honest simulation ----------------------
         rb = [[0] * t_size for _ in range(log_k)]
@@ -202,11 +226,14 @@ class TwistBits:
                     rv[j] = mem[a]
             else:
                 rv[j] = mem[0]  # padding: read cell 0 (bits already 0)
+        prof("simulate")
 
         params_t, _ = setup_multilinear_params(log_t)
+        prof("srs")
         columns = rb + wb + [ot, rv, wv, ic]
         # one burst: all 2logK+4 column MSMs dispatched together
         comms = MultilinearKZG.commit_many(params_t, columns)
+        prof("commit")
 
         transcript = Transcript(prover_params.fiat_shamir_seed)
         _bind_statement(transcript, log_k, log_t, comms)
@@ -255,9 +282,11 @@ class TwistBits:
                 eqs_j=eq_table(sigma[log_k:]), eqb=eqb,
                 alpha_powers=a_pow, kinv=kinv, degree=degree,
             )
+        prof("oracle_a_build")
         check_a, r = SumCheckD(n, Fr(0), degree).prove_with_challenges(
             oracle_a, transcript
         )
+        prof("phase_a")
         r_k, r_j = r[:log_k], r[log_k:]
 
         # --- phase B: Val-evaluation sum-check over j' -------------------
@@ -294,6 +323,7 @@ class TwistBits:
         check_b, s = SumCheckD(
             log_t, v_val, degree
         ).prove_with_challenges(oracle_b, transcript)
+        prof("phase_b")
 
         # --- batched openings --------------------------------------------
         values_rj = _mle_eval_many(columns, r_j)
@@ -309,6 +339,7 @@ class TwistBits:
         val_s, proof_s = MultilinearKZG.open(params_t, rlc_s, s)
         assert int(val_rj) == _rlc_values(values_rj, g)
         assert int(val_s) == _rlc_values(values_s, g)
+        prof("openings")
 
         return TwistBitsProof(
             log_memory=log_k,

@@ -164,12 +164,17 @@ def fuzz_bits(rng: random.Random, iters: int) -> None:
 
     from tnsh.core.params import setup_params
     from tnsh.core.proof_io import (
+        shout_bits_comm_proof_to_bytes,
         shout_bits_proof_to_bytes,
         twist_bits_proof_to_bytes,
     )
     from tnsh.field.fr import MODULUS, Fr
     from tnsh.protocols.shout import LookupTable
-    from tnsh.protocols.twist_bits import ShoutBits, TwistBits
+    from tnsh.protocols.twist_bits import (
+        ShoutBits,
+        ShoutBitsCommitted,
+        TwistBits,
+    )
 
     pp, vp = setup_params(6)
     envs = ({"TNSH_BITS_DENSE": "1"}, {"TNSH_NO_NATIVE": "1"}, {})
@@ -196,7 +201,7 @@ def fuzz_bits(rng: random.Random, iters: int) -> None:
                    for _ in range(rng.randrange(1, mem + 1))]
         looks = [rng.randrange(len(entries))
                  for _ in range(rng.randrange(0, 17))]
-        digs, sdigs = set(), set()
+        digs, sdigs, cdigs = set(), set(), set()
         for env in envs:
             for var in ("TNSH_BITS_DENSE", "TNSH_NO_NATIVE"):
                 os.environ.pop(var, None)
@@ -214,11 +219,18 @@ def fuzz_bits(rng: random.Random, iters: int) -> None:
                     f"sbits reject iter={it}"
                 sdigs.add(hashlib.sha256(
                     shout_bits_proof_to_bytes(sproof)).hexdigest())
+                tcomm = ShoutBitsCommitted.preprocess(tbl.entries)
+                cproof = ShoutBitsCommitted.prove(tbl, pp)
+                assert ShoutBitsCommitted.verify(cproof, tcomm, vp), \
+                    f"sbitc reject iter={it}"
+                cdigs.add(hashlib.sha256(
+                    shout_bits_comm_proof_to_bytes(cproof)).hexdigest())
             finally:
                 for var in ("TNSH_BITS_DENSE", "TNSH_NO_NATIVE"):
                     os.environ.pop(var, None)
         assert len(digs) == 1, f"tbits divergence iter={it}"
         assert len(sdigs) == 1, f"sbits divergence iter={it}"
+        assert len(cdigs) == 1, f"sbitc divergence iter={it}"
     print(f"  bits protocols: {iters} iters OK")
 
 
