@@ -1329,23 +1329,29 @@ struct SopTerm {
     bool r0_skip = false;  // handled by the round-0 booleanity fast path
 };
 
-// Round-0 booleanity fast path (round-5): while every table still holds
-// its original un-folded values, a BOOLEAN column c makes the
-// booleanity-check contribution collapse per lane pair to
+// Booleanity-term group (round-5): the 2logK+1 boolean-check terms all
+// share one eqb factor, so their combined round contribution is
 //
-//   w * eqb(X) * (X^2 - X) * [lo != hi]
+//   G(X) = eqb(X) * B(X),   B(X) = sum_m w_m * c_m(X) * (c_m(X) - 1)
 //
-// because c_X = lo + X(hi - lo) with lo, hi in {0, 1} gives
-// c_X (c_X - 1) = X^2 - X when the pair differs and 0 when it does not
-// (both orientations: X(X-1) and (1-X)(-X) are the same polynomial).
-// The per-term per-X field values are EXACTLY those of the generic
-// product path, so the round-eval sums are bit-identical — only the
-// association of the exact field additions changes.  Valid only for the
-// FIRST round on a freshly built handle (folding destroys boolness);
-// sop_bind clears the flag.
+// with B QUADRATIC (each factor's pair polynomial is linear).  Per lane
+// pair B is evaluated at X = 0..2 (2 muls per column per point instead
+// of a 3-factor product at 4 points), extended to X = 3 by exact
+// forward differences, and G accumulated with a degree-3 FD extension.
+// Per X the value equals the generic per-term sum exactly — only the
+// association of the exact field additions changes, which field
+// arithmetic cannot observe.
+//
+// Round 0 collapses further: while the tables still hold their original
+// un-folded values, a BOOLEAN column c gives c_X (c_X - 1) = X^2 - X
+// when the pair differs and 0 when it does not (both orientations:
+// X(X-1) and (1-X)(-X) are the same polynomial), so B(X) = (X^2 - X) *
+// sum of the differing columns' weights.  sop_bind clears the round-0
+// flag; the quadratic group path stays valid in every round.
 struct SopBoolR0 {
     int c_idx;
-    u64 w[4];  // Montgomery
+    int m_idx;  // companion (c-1) table, or -1 for the virtual c-1
+    u64 w[4];   // Montgomery
 };
 
 struct SopState {
@@ -1404,6 +1410,10 @@ static void sop_register_r0(SopState *so) {
     so->r0_bool.clear();
     so->r0_eqb = -1;
     so->r0_fresh = false;
+    if (so->npts < 4) {  // group/G paths assume a cubic X grid
+        so->r0_fresh = true;
+        return;
+    }
     const size_t n = so->terms.size();
     std::vector<char> skip(n, 0);
     std::vector<signed char> memo(so->tables.size(), -1);
@@ -1432,6 +1442,7 @@ static void sop_register_r0(SopState *so) {
                 if (memcmp(negc, tn.coeff, 32) != 0) continue;
                 SopBoolR0 bp;
                 bp.c_idx = c;
+                bp.m_idx = -1;  // virtual c-1
                 memcpy(bp.w, tm.coeff, 32);
                 found.push_back(bp);
                 skip[t] = skip[t2] = 1;
@@ -1443,6 +1454,7 @@ static void sop_register_r0(SopState *so) {
                                         so->size)) {
             SopBoolR0 bp;
             bp.c_idx = c;
+            bp.m_idx = m;
             memcpy(bp.w, tm.coeff, 32);
             found.push_back(bp);
             skip[t] = 1;
@@ -1544,8 +1556,13 @@ void sop_round_evals(int id, uint8_t *out) {
     size_t half = st->size / 2;
     size_t nt = st->tables.size();
     const int npts = st->npts;
-    const bool fast = st->r0_fresh && !st->r0_bool.empty();
+    const bool have_groups = !st->r0_bool.empty();
+    const bool fast = st->r0_fresh && have_groups;
     std::vector<u64> sums(4 * npts, 0);
+    size_t maxpairs = 0;
+    for (const SopTerm &term : st->terms)
+        if (term.factors.size() / 2 > maxpairs)
+            maxpairs = term.factors.size() / 2;
 #ifdef _OPENMP
 #pragma omp parallel if (half >= 4096)
 #endif
@@ -1553,6 +1570,7 @@ void sop_round_evals(int id, uint8_t *out) {
         std::vector<u64> local(4 * npts, 0);
         std::vector<u64> bacc(4 * npts, 0);  // booleanity fast-path partials
         std::vector<u64> vals(nt * 4 * npts);  // per table: npts X-points
+        std::vector<u64> qbuf(maxpairs * 4 * npts);  // paired-factor quads
 #ifdef _OPENMP
 #pragma omp for schedule(static) nowait
 #endif
@@ -1574,7 +1592,7 @@ void sop_round_evals(int id, uint8_t *out) {
             // per term: direct products at x <= term degree, then
             // forward-difference extension (d adds/point, not d muls)
             for (const SopTerm &term : st->terms) {
-                if (fast && term.r0_skip) continue;
+                if (have_groups && term.r0_skip) continue;
                 int d = (int)term.factors.size();
                 if (d >= npts) d = npts - 1;
                 if (st->r0_fresh && d > 4) {
@@ -1590,6 +1608,45 @@ void sop_round_evals(int id, uint8_t *out) {
                         if (memcmp(lo, lo + 4, 32)) dt++;
                     }
                     if (dt < d) d = dt;
+                } else if (!st->r0_fresh
+                           && (int)term.factors.size() >= 6
+                           && d == npts - 1) {
+                    // paired product tree: adjacent linear factors merge
+                    // into quadratics evaluated at X=0..2 and FD-extended
+                    // across the grid, so the per-X product costs
+                    // ~nf/2 muls instead of nf.  Field multiplication is
+                    // exact and associative — identical per-X values.
+                    int nf = (int)term.factors.size();
+                    int np = nf / 2, odd = nf & 1;
+                    for (int i = 0; i < np; i++) {
+                        const u64 *fa =
+                            &vals[4 * npts * term.factors[2 * i]];
+                        const u64 *fb =
+                            &vals[4 * npts * term.factors[2 * i + 1]];
+                        u64 *q = &qbuf[4 * npts * i];
+                        for (int x = 0; x < 3; x++)
+                            mmul(&q[4 * x], &fa[4 * x], &fb[4 * x], FR);
+                        u64 sl[4], d2[4], t0[4];
+                        sub_mod(sl, &q[8], &q[4], FR);      // q2 - q1
+                        sub_mod(t0, &q[4], &q[0], FR);      // q1 - q0
+                        sub_mod(d2, sl, t0, FR);            // 2nd diff
+                        for (int x = 3; x < npts; x++) {
+                            add_mod(sl, sl, d2, FR);
+                            add_mod(&q[4 * x], &q[4 * (x - 1)], sl, FR);
+                        }
+                    }
+                    const u64 *lastv = odd
+                        ? &vals[4 * npts * term.factors[nf - 1]] : nullptr;
+                    for (int x = 0; x < npts; x++) {
+                        u64 prod[4];
+                        memcpy(prod, term.coeff, 32);
+                        for (int i = 0; i < np; i++)
+                            mmul(prod, prod, &qbuf[4 * (npts * i + x)],
+                                 FR);
+                        if (lastv) mmul(prod, prod, &lastv[4 * x], FR);
+                        add_mod(&local[4 * x], &local[4 * x], prod, FR);
+                    }
+                    continue;
                 }
                 u64 fv[FD_MAX][4];
                 for (int x = 0; x <= d; x++) {
@@ -1627,6 +1684,48 @@ void sop_round_evals(int id, uint8_t *out) {
                         u64 m[4];
                         mmul(m, S, &ev[4 * x], FR);
                         add_mod(&bacc[4 * x], &bacc[4 * x], m, FR);
+                    }
+                }
+            } else if (have_groups) {
+                // rounds >= 1: the shared-eqb quadratic group (see
+                // SopBoolR0) — B at X=0..2, FD to X=3, G = eqb*B with a
+                // degree-3 FD extension over the remaining points
+                u64 B[4][4];
+                for (int x = 0; x < 3; x++) memset(B[x], 0, 32);
+                for (const SopBoolR0 &bp : st->r0_bool) {
+                    const u64 *cv = &vals[4 * npts * bp.c_idx];
+                    const u64 *mv0 = bp.m_idx >= 0
+                        ? &vals[4 * npts * bp.m_idx] : nullptr;
+                    for (int x = 0; x < 3; x++) {
+                        u64 mv[4], tv[4];
+                        if (mv0)
+                            memcpy(mv, &mv0[4 * x], 32);
+                        else
+                            sub_mod(mv, &cv[4 * x], FR.one, FR);
+                        mmul(tv, &cv[4 * x], mv, FR);
+                        mmul(tv, tv, bp.w, FR);
+                        add_mod(B[x], B[x], tv, FR);
+                    }
+                }
+                u64 d1[4], d0[4], d2[4];
+                sub_mod(d1, B[2], B[1], FR);
+                sub_mod(d0, B[1], B[0], FR);
+                sub_mod(d2, d1, d0, FR);
+                add_mod(B[3], B[2], d1, FR);
+                add_mod(B[3], B[3], d2, FR);
+                const u64 *ev = &vals[4 * npts * st->r0_eqb];
+                u64 fv[4][4];
+                for (int x = 0; x < 4; x++) {
+                    mmul(fv[x], &ev[4 * x], B[x], FR);
+                    add_mod(&local[4 * x], &local[4 * x], fv[x], FR);
+                }
+                if (npts > 4) {
+                    u64 diffs[4][4];
+                    fd_init(diffs, fv, 3);
+                    for (int x = 4; x < npts; x++) {
+                        fd_step(diffs, 3);
+                        add_mod(&local[4 * x], &local[4 * x], diffs[0],
+                                FR);
                     }
                 }
             }

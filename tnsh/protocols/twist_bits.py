@@ -164,6 +164,27 @@ def _stage_profiler(label: str):
     return prof
 
 
+def _marshal_columns(columns):
+    """Marshal the committed prover columns ONCE into bytes-backed
+    FrTables on the native path.  ``commit_many``, the batched MLE evals
+    (``_mle_eval_many``) and the gamma-RLC tables (``_rlc_tables``) all
+    route through ``_native._fr_vec_bytes``, which passes ``FrTable.raw``
+    straight down — without this every consumer re-serializes the same
+    Python int lists (~1 s per pass at T=2^18, three passes per prove).
+    Values are canonical ints either way, so proof bytes are unchanged."""
+    import os
+
+    if os.environ.get("TNSH_NO_NATIVE") or len(columns[0]) < 1024:
+        return columns
+    from .. import _native
+
+    if not _native.available:
+        return columns
+    from ..field.fr import FrTable
+
+    return [FrTable(_native._fr_vec_bytes(c)) for c in columns]
+
+
 def _make_oracle(num_vars: int, terms, degree: int):
     """Generic-degree sop oracle routing: native C++ by default, the
     JAX/Pallas device oracle via TNSH_BITS_FORCE_JAX=1 (or automatically
@@ -230,7 +251,7 @@ class TwistBits:
 
         params_t, _ = setup_multilinear_params(log_t)
         prof("srs")
-        columns = rb + wb + [ot, rv, wv, ic]
+        columns = _marshal_columns(rb + wb + [ot, rv, wv, ic])
         # one burst: all 2logK+4 column MSMs dispatched together
         comms = MultilinearKZG.commit_many(params_t, columns)
         prof("commit")
@@ -276,8 +297,12 @@ class TwistBits:
             # built (bit-identical proofs; tests + wire-v3 digests pin it)
             from ..iop.bits_oracle import TwistBitsSparseOracle
 
+            # value columns handed over as the already-marshalled
+            # FrTables: tbk_create consumes their raw bytes zero-copy
             oracle_a = TwistBitsSparseOracle(
-                log_k, log_t, rb=rb, wb=wb, ot=ot, rv=rv, wv=wv, ic=ic,
+                log_k, log_t, rb=rb, wb=wb, ot=columns[2 * log_k],
+                rv=columns[2 * log_k + 1], wv=columns[2 * log_k + 2],
+                ic=columns[2 * log_k + 3],
                 eq1=eq1, eqs_k=eq_table(sigma[:log_k]),
                 eqs_j=eq_table(sigma[log_k:]), eqb=eqb,
                 alpha_powers=a_pow, kinv=kinv, degree=degree,
@@ -327,7 +352,8 @@ class TwistBits:
 
         # --- batched openings --------------------------------------------
         values_rj = _mle_eval_many(columns, r_j)
-        cols_s = wb + [ot, ic]
+        cols_s = (columns[log_k: 2 * log_k]
+                  + [columns[2 * log_k], columns[2 * log_k + 3]])
         values_s = _mle_eval_many(cols_s, s)
         transcript.append_field_elements(b"tbits_values_rj", values_rj)
         transcript.append_field_elements(b"tbits_values_s", values_s)
@@ -490,7 +516,7 @@ class ShoutBits:
          ) = _shout_comm_columns(table)
 
         params_t, _ = setup_multilinear_params(log_t)
-        columns = rb + [rv]
+        columns = _marshal_columns(rb + [rv])
         comms = MultilinearKZG.commit_many(params_t, columns)
 
         transcript = Transcript(prover_params.fiat_shamir_seed)
@@ -718,7 +744,7 @@ class ShoutBitsCommitted:
          ) = _shout_comm_columns(table)
         params_t, _ = setup_multilinear_params(log_t)
         params_k, _ = setup_multilinear_params(log_k)
-        columns = rb + [rv]
+        columns = _marshal_columns(rb + [rv])
         comms = MultilinearKZG.commit_many(params_t, columns)
         t_comm = MultilinearKZG.commit(params_k, entries)
 
