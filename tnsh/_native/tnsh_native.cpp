@@ -1368,6 +1368,7 @@ struct SopState {
     std::vector<char> r0_skip_ext;  // per table: no X-extension in round 0
     int r0_eqb = -1;
     bool r0_fresh = false;
+    std::vector<u64> fold_scratch;  // reused fold target (sop_bind)
     void compute_need() {
         need_x.assign(tables.size(), 1);
         for (const SopTerm &t : terms) {
@@ -1571,6 +1572,11 @@ void sop_round_evals(int id, uint8_t *out) {
         std::vector<u64> bacc(4 * npts, 0);  // booleanity fast-path partials
         std::vector<u64> vals(nt * 4 * npts);  // per table: npts X-points
         std::vector<u64> qbuf(maxpairs * 4 * npts);  // paired-factor quads
+        // accumulate-then-extend: per-degree sums of the sub-grid values
+        // of low-degree contributions; ONE forward-difference extension
+        // per degree per round replaces the per-pair extension (FD is
+        // linear over exact field sums — identical values)
+        std::vector<u64> dacc(npts * npts * 4, 0);
 #ifdef _OPENMP
 #pragma omp for schedule(static) nowait
 #endif
@@ -1648,22 +1654,26 @@ void sop_round_evals(int id, uint8_t *out) {
                     }
                     continue;
                 }
-                u64 fv[FD_MAX][4];
-                for (int x = 0; x <= d; x++) {
-                    u64 prod[4];
-                    memcpy(prod, term.coeff, 32);
-                    for (int f : term.factors)
-                        mmul(prod, prod, &vals[4 * (npts * f + x)], FR);
-                    memcpy(fv[x], prod, 32);
-                    add_mod(&local[4 * x], &local[4 * x], prod, FR);
-                }
                 if (d + 1 < npts) {
-                    u64 diffs[FD_MAX][4];
-                    fd_init(diffs, fv, d);
-                    for (int x = d + 1; x < npts; x++) {
-                        fd_step(diffs, d);
-                        add_mod(&local[4 * x], &local[4 * x], diffs[0],
-                                FR);
+                    // low-degree term: bank the sub-grid values in the
+                    // per-degree accumulator; extended once per round
+                    u64 *dk = &dacc[4 * npts * d];
+                    for (int x = 0; x <= d; x++) {
+                        u64 prod[4];
+                        memcpy(prod, term.coeff, 32);
+                        for (int f : term.factors)
+                            mmul(prod, prod, &vals[4 * (npts * f + x)],
+                                 FR);
+                        add_mod(&dk[4 * x], &dk[4 * x], prod, FR);
+                    }
+                } else {
+                    for (int x = 0; x <= d; x++) {
+                        u64 prod[4];
+                        memcpy(prod, term.coeff, 32);
+                        for (int f : term.factors)
+                            mmul(prod, prod, &vals[4 * (npts * f + x)],
+                                 FR);
+                        add_mod(&local[4 * x], &local[4 * x], prod, FR);
                     }
                 }
             }
@@ -1714,20 +1724,30 @@ void sop_round_evals(int id, uint8_t *out) {
                 add_mod(B[3], B[2], d1, FR);
                 add_mod(B[3], B[3], d2, FR);
                 const u64 *ev = &vals[4 * npts * st->r0_eqb];
-                u64 fv[4][4];
+                u64 *dst = npts > 4 ? &dacc[4 * npts * 3] : local.data();
                 for (int x = 0; x < 4; x++) {
-                    mmul(fv[x], &ev[4 * x], B[x], FR);
-                    add_mod(&local[4 * x], &local[4 * x], fv[x], FR);
+                    u64 fx[4];
+                    mmul(fx, &ev[4 * x], B[x], FR);
+                    add_mod(&dst[4 * x], &dst[4 * x], fx, FR);
                 }
-                if (npts > 4) {
-                    u64 diffs[4][4];
-                    fd_init(diffs, fv, 3);
-                    for (int x = 4; x < npts; x++) {
-                        fd_step(diffs, 3);
-                        add_mod(&local[4 * x], &local[4 * x], diffs[0],
-                                FR);
-                    }
-                }
+            }
+        }
+        // extend each per-degree accumulator across the full X grid
+        for (int d = 0; d + 1 < npts; d++) {
+            u64 fv[FD_MAX][4];
+            bool any = false;
+            const u64 *dk = &dacc[4 * npts * d];
+            for (int x = 0; x <= d; x++) {
+                memcpy(fv[x], &dk[4 * x], 32);
+                if (!is_zero4(fv[x])) any = true;
+                add_mod(&local[4 * x], &local[4 * x], fv[x], FR);
+            }
+            if (!any) continue;
+            u64 diffs[FD_MAX][4];
+            fd_init(diffs, fv, d);
+            for (int x = d + 1; x < npts; x++) {
+                fd_step(diffs, d);
+                add_mod(&local[4 * x], &local[4 * x], diffs[0], FR);
             }
         }
         if (fast) {
@@ -1772,22 +1792,36 @@ void sop_bind(int id, const uint8_t *r_bytes) {
     bytes_to_limbs(raw, r_bytes);
     to_mont(r, raw, FR);
     size_t half = st->size / 2;
+    // Fold into a reused scratch buffer (the in-place variant races
+    // under OpenMP: iteration i writes limbs other threads still read);
+    // swapping with the scratch avoids an allocation + page-fault pass
+    // per table per round.
+    if (st->fold_scratch.size() < 4 * half)
+        st->fold_scratch.resize(4 * st->size);
     for (auto &tab : st->tables) {
-        // Fold into a fresh buffer: the in-place variant races under
-        // OpenMP (iteration i writes limbs other threads still read).
-        std::vector<u64> out(4 * half);
+        u64 *out = st->fold_scratch.data();
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) if (half >= 16384)
 #endif
-        for (size_t i = 0; i < half; i++) {
+        for (long long i = 0; i < (long long)half; i++) {
             u64 d[4], m[4];
             sub_mod(d, &tab[8 * i + 4], &tab[8 * i], FR);
             mmul(m, r, d, FR);
             add_mod(&out[4 * i], &tab[8 * i], m, FR);
         }
-        tab.swap(out);
+        // ping-pong: the scratch becomes the table, the old table
+        // becomes the next fold target (capacity is always sufficient).
+        // Shrink once the live data falls well below capacity — holding
+        // dozens of full-size buffers through the rest of the prove
+        // costs real memory pressure (measured: +2 s on the openings
+        // stage at T=2^18 without this).
+        tab.swap(st->fold_scratch);
+        tab.resize(4 * half);
+        if (tab.capacity() > 16 * half) std::vector<u64>(tab).swap(tab);
     }
     st->size = half;
+    if (st->fold_scratch.capacity() > 16 * half)
+        std::vector<u64>(4 * half).swap(st->fold_scratch);
 }
 
 // out: num_terms' final sum = sum_t coeff_t * prod_f T_f[0]  (32 B).
@@ -3822,49 +3856,47 @@ void tbk_round_evals(int id, uint8_t *out) {
     size_t j_lo = per * (size_t)chunk;
     size_t j_hi = j_lo + per < t ? j_lo + per : t;
     std::vector<u64> B = std::move(snap[chunk]);
+    // accumulate-then-extend: the READ contribution is quadratic and the
+    // INC contribution cubic in X, so per cycle only their sub-grid
+    // values (X=0..2 / 0..3) are banked; ONE forward-difference
+    // extension per chunk replaces the per-cycle extension (FD is
+    // linear over exact field sums — identical values).
+    const int rdd = npts - 1 < 2 ? npts - 1 : 2;
+    const int idd = npts - 1 < 3 ? npts - 1 : 3;
+    u64 racc[3][4], iacc[4][4];
+    memset(racc, 0, sizeof(racc));
+    memset(iacc, 0, sizeof(iacc));
     std::vector<u64> lacc(4 * npts, 0);
-    u64 *accp = nchunks > 1 ? lacc.data() : acc.data();
     for (size_t j = j_lo; j < j_hi; j++) {
-        // READ: eq1 * (1 - ot) * Ar * chi(X, b) * V-part(X)
-        u64 rt[4], w[4];
-        sub_mod(rt, FR.one, &st->ot[4 * j], FR);
-        mmul(w, &st->eq1[4 * j], rt, FR);
-        mmul(w, w, &st->Ar[4 * j], FR);
-        if (!is_zero4(w)) {
+        // READ: eq1 * (1 - ot) * Ar * chi(X, b) * V-part(X).  ot is a
+        // bit column, so rt = 1 - ot is EXACTLY mont(1) on reads (the
+        // multiply is an identity and is elided) and 0 on writes (the
+        // whole READ contribution vanishes).
+        if (!st->ot_b[j]) {
+            u64 w[4];
+            mmul(w, &st->eq1[4 * j], &st->Ar[4 * j], FR);
+            if (!is_zero4(w)) {
             u64 ra = st->r_addr[j];
             int b = (int)(ra & 1);
             const u64 *b0 = &B[4 * ((ra >> 1) << 1)];
             const u64 *b1 = &B[4 * (((ra >> 1) << 1) + 1)];
             u64 d[4];
             sub_mod(d, b1, b0, FR);
-            // f(X) = w * chi(X,b) * ((1-X) b0 + X b1): quadratic —
-            // direct at X=0..2, forward-difference the rest (2 adds/pt)
-            int dd = npts - 1 < 2 ? npts - 1 : 2;
-            u64 fv[4][4];
-            for (int x = 0; x <= dd; x++) {
+            for (int x = 0; x <= rdd; x++) {
                 u64 vp[4], m[4];
                 mmul(vp, &xm[4 * x], d, FR);
                 add_mod(vp, vp, b0, FR);
                 mmul(m, w, b ? &xm[4 * x] : &cxm[4 * x], FR);
                 mmul(m, m, vp, FR);
-                memcpy(fv[x], m, 32);
-                add_mod(&accp[4 * x], &accp[4 * x], m, FR);
+                add_mod(racc[x], racc[x], m, FR);
             }
-            if (dd + 1 < npts) {
-                u64 diffs[4][4];
-                fd_init(diffs, fv, dd);
-                for (int x = dd + 1; x < npts; x++) {
-                    fd_step(diffs, dd);
-                    add_mod(&accp[4 * x], &accp[4 * x], diffs[0], FR);
-                }
             }
-        }
-        if (st->ot_b[j]) {
+        } else {
+            // write cycle: ot is exactly mont(1), so base = eqsj * Aw
             u64 wa = st->w_addr[j];
             int b = (int)(wa & 1);
             u64 base[4];
-            mmul(base, &st->eqsj[4 * j], &st->ot[4 * j], FR);
-            mmul(base, base, &st->Aw[4 * j], FR);
+            mmul(base, &st->eqsj[4 * j], &st->Aw[4 * j], FR);
             if (!is_zero4(base)) {
                 u64 s = wa >> 1;
                 const u64 *et0 = &E[8 * s];
@@ -3876,11 +3908,8 @@ void tbk_round_evals(int id, uint8_t *out) {
                 sub_mod(bd, b1, b0, FR);
                 sub_mod(ic_wv, &st->ic[4 * j], &st->wv[4 * j], FR);
                 mmul(head0, a1, base, FR);
-                // g(X) = head0 * chi(X,b) * ek(X) * (ic_wv + vp(X)):
-                // cubic — direct at X=0..3, differences after (3 adds/pt)
-                int dd = npts - 1 < 3 ? npts - 1 : 3;
-                u64 fv[4][4];
-                for (int x = 0; x <= dd; x++) {
+                // g(X) = head0 * chi(X,b) * ek(X) * (ic_wv + vp(X))
+                for (int x = 0; x <= idd; x++) {
                     u64 ek[4], head[4], m[4], vp[4];
                     mmul(ek, &xm[4 * x], edt, FR);
                     add_mod(ek, ek, et0, FR);
@@ -3891,17 +3920,7 @@ void tbk_round_evals(int id, uint8_t *out) {
                     add_mod(vp, vp, b0, FR);
                     add_mod(vp, vp, ic_wv, FR);
                     mmul(m, head, vp, FR);
-                    memcpy(fv[x], m, 32);
-                    add_mod(&accp[4 * x], &accp[4 * x], m, FR);
-                }
-                if (dd + 1 < npts) {
-                    u64 diffs[4][4];
-                    fd_init(diffs, fv, dd);
-                    for (int x = dd + 1; x < npts; x++) {
-                        fd_step(diffs, dd);
-                        add_mod(&accp[4 * x], &accp[4 * x], diffs[0],
-                                FR);
-                    }
+                    add_mod(iacc[x], iacc[x], m, FR);
                 }
             }
             // bucket insert AFTER this cycle's own contributions
@@ -3910,13 +3929,32 @@ void tbk_round_evals(int id, uint8_t *out) {
             add_mod(&B[4 * wa], &B[4 * wa], add, FR);
         }
     }
-    if (nchunks > 1) {
+    // extend the banked quadratic / cubic sums across the full X grid
+    for (int x = 0; x <= rdd; x++)
+        add_mod(&lacc[4 * x], &lacc[4 * x], racc[x], FR);
+    if (rdd + 1 < npts) {
+        u64 diffs[4][4];
+        fd_init(diffs, racc, rdd);
+        for (int x = rdd + 1; x < npts; x++) {
+            fd_step(diffs, rdd);
+            add_mod(&lacc[4 * x], &lacc[4 * x], diffs[0], FR);
+        }
+    }
+    for (int x = 0; x <= idd; x++)
+        add_mod(&lacc[4 * x], &lacc[4 * x], iacc[x], FR);
+    if (idd + 1 < npts) {
+        u64 diffs[4][4];
+        fd_init(diffs, iacc, idd);
+        for (int x = idd + 1; x < npts; x++) {
+            fd_step(diffs, idd);
+            add_mod(&lacc[4 * x], &lacc[4 * x], diffs[0], FR);
+        }
+    }
 #ifdef _OPENMP
 #pragma omp critical
 #endif
-        for (int x = 0; x < npts; x++)
-            add_mod(&acc[4 * x], &acc[4 * x], &lacc[4 * x], FR);
-    }
+    for (int x = 0; x < npts; x++)
+        add_mod(&acc[4 * x], &acc[4 * x], &lacc[4 * x], FR);
     }
     for (int x = 0; x < npts; x++) {
         u64 s[4];
