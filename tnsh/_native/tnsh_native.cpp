@@ -4001,7 +4001,10 @@ static void tbk_chi_col(const TbkState *st, const std::vector<u64> &addr0,
     out.resize(4 * t);
     const u64 *r = &st->chal_r[4 * m];
     const u64 *om = &st->chal_om[4 * m];
-    for (size_t j = 0; j < t; j++)
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (t >= 65536)
+#endif
+    for (long long j = 0; j < (long long)t; j++)
         memcpy(&out[4 * j], ((addr0[j] >> m) & 1) ? r : om, 32);
 }
 
@@ -4022,7 +4025,10 @@ int tbk_make_sopd(int id) {
     };
     int i_eq1 = add_tab(std::vector<u64>(st->eq1));
     std::vector<u64> rt(4 * t);
-    for (size_t j = 0; j < t; j++)
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (t >= 65536)
+#endif
+    for (long long j = 0; j < (long long)t; j++)
         sub_mod(&rt[4 * j], FR.one, &st->ot[4 * j], FR);
     int i_rt = add_tab(std::move(rt));
     std::vector<int> i_chi_r(lk), i_chi_w(lk);
@@ -4057,7 +4063,10 @@ int tbk_make_sopd(int id) {
     // with tcomb = ic - wv + V pointwise — SAME polynomial, identical
     // round evaluations, one 13-factor term instead of three.
     std::vector<u64> tcomb(4 * t);
-    for (size_t j = 0; j < t; j++) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (t >= 65536)
+#endif
+    for (long long j = 0; j < (long long)t; j++) {
         u64 v[4];
         sub_mod(v, &st->ic[4 * j], &st->wv[4 * j], FR);
         add_mod(&tcomb[4 * j], v, &Vj[4 * j], FR);
@@ -4067,7 +4076,10 @@ int tbk_make_sopd(int id) {
     // column over a (c-1) table (again linearity of the MLE).
     std::vector<int> i_bool, i_bm1;
     std::vector<u64> otm1(4 * t);
-    for (size_t j = 0; j < t; j++)
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (t >= 65536)
+#endif
+    for (long long j = 0; j < (long long)t; j++)
         sub_mod(&otm1[4 * j], &st->ot[4 * j], FR.one, FR);
     for (int which = 0; which < 2 * lk; which++) {
         const std::vector<u64> &a0 =
@@ -4076,7 +4088,10 @@ int tbk_make_sopd(int id) {
         std::vector<u64> col(4 * t, 0), cm1(4 * t);
         u64 negone[4];
         neg_mod(negone, FR.one, FR);
-        for (size_t j = 0; j < t; j++) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (t >= 65536)
+#endif
+        for (long long j = 0; j < (long long)t; j++) {
             if ((a0[j] >> m) & 1)
                 memcpy(&col[4 * j], FR.one, 32);
             else

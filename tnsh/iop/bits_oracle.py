@@ -217,6 +217,19 @@ class TwistBitsSparseOracle:
             for m in range(half)
         ]
 
+    def release(self) -> None:
+        """Free native state deterministically (idempotent) — called by
+        the provers in a ``finally`` so the C++ tables return even while
+        the Python GC is paused."""
+        if getattr(self, "_tbk", None) is not None:
+            from .. import _native
+
+            _native.tbk_free(self._tbk)
+            self._tbk = None
+        d = getattr(self, "_delegate", None)
+        if d is not None and hasattr(d, "release"):
+            d.release()
+
     def __del__(self):  # pragma: no cover - finalizer
         if getattr(self, "_tbk", None) is not None:
             try:
@@ -458,6 +471,17 @@ class ShoutBitsSparseOracle:
             [a for a, _ in addr_tabs], kt_tabs, spec, self.degree + 1,
         )
         return True
+
+    def release(self) -> None:
+        """Free native state deterministically (idempotent)."""
+        if getattr(self, "_sbk", None) is not None:
+            from .. import _native
+
+            _native.sbk_free(self._sbk)
+            self._sbk = None
+        d = getattr(self, "_delegate", None)
+        if d is not None and hasattr(d, "release"):
+            d.release()
 
     def __del__(self):  # pragma: no cover - finalizer
         if getattr(self, "_sbk", None) is not None:

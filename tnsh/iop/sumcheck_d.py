@@ -192,6 +192,17 @@ class NativeSopOracleD:
         o._native_id = handle
         return o
 
+    def release(self) -> None:
+        """Free the native handle deterministically (idempotent).  The
+        provers call this in a ``finally`` so the C++ tables are returned
+        even while the Python GC is paused (the finalizer alone only runs
+        when a cycle collector passes)."""
+        if getattr(self, "_native_id", None) is not None:
+            from .. import _native
+
+            _native.sop_free(self._native_id)
+            self._native_id = None
+
     def __del__(self):  # pragma: no cover - finalizer
         if getattr(self, "_native_id", None) is not None:
             try:

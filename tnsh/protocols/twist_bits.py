@@ -164,6 +164,41 @@ def _stage_profiler(label: str):
     return prof
 
 
+def _gc_paused(fn):
+    """Pause the cyclic GC for the duration of a prove (opt out with
+    TNSH_GC_PAUSE=0).  At T=2^20 the collector repeatedly rescans the
+    ~25M-object trace/column heap from inside the provers' allocation
+    bursts — measured at ~35 s of a 106 s prove (PERF_NOTES 31).  The
+    provers release their native state deterministically, so nothing
+    depends on finalizers while the collector is paused."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*args, **kwargs):
+        import gc
+        import os
+
+        pause = (os.environ.get("TNSH_GC_PAUSE", "1") != "0"
+                 and gc.isenabled())
+        if pause:
+            gc.disable()
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            if pause:
+                gc.enable()
+
+    return wrap
+
+
+def _release_oracles(*oracles) -> None:
+    """Deterministically free native oracle state (no-op for pure-Python
+    oracles; idempotent)."""
+    for o in oracles:
+        if o is not None and hasattr(o, "release"):
+            o.release()
+
+
 def _marshal_columns(columns):
     """Marshal the committed prover columns ONCE into bytes-backed
     FrTables on the native path.  ``commit_many``, the batched MLE evals
@@ -199,6 +234,7 @@ class TwistBits:
     """Trapdoor-free verifier-enforced Twist (bit-column commitments)."""
 
     @staticmethod
+    @_gc_paused
     def prove(trace: MemoryTrace, prover_params: ProverParams
               ) -> TwistBitsProof:
         import os
@@ -355,17 +391,20 @@ class TwistBits:
         cols_s = (columns[log_k: 2 * log_k]
                   + [columns[2 * log_k], columns[2 * log_k + 3]])
         values_s = _mle_eval_many(cols_s, s)
+        prof("open/evals")
         transcript.append_field_elements(b"tbits_values_rj", values_rj)
         transcript.append_field_elements(b"tbits_values_s", values_s)
         gamma = transcript.challenge_field_element(b"tbits_gamma")
         g = int(gamma)
         rlc_rj = _rlc_tables(columns, g)
-        val_rj, proof_rj = MultilinearKZG.open(params_t, rlc_rj, r_j)
         rlc_s = _rlc_tables(cols_s, g)
+        prof("open/rlc")
+        val_rj, proof_rj = MultilinearKZG.open(params_t, rlc_rj, r_j)
         val_s, proof_s = MultilinearKZG.open(params_t, rlc_s, s)
         assert int(val_rj) == _rlc_values(values_rj, g)
         assert int(val_s) == _rlc_values(values_s, g)
         prof("openings")
+        _release_oracles(oracle_a, oracle_b)
 
         return TwistBitsProof(
             log_memory=log_k,
@@ -511,6 +550,7 @@ class ShoutBits:
     """
 
     @staticmethod
+    @_gc_paused
     def prove(table, prover_params: ProverParams) -> ShoutBitsProof:
         (entries, log_k, k_size, log_t, t_size, rb, rv
          ) = _shout_comm_columns(table)
@@ -547,6 +587,7 @@ class ShoutBits:
         rlc = _rlc_tables(columns, g)
         val_rj, proof_rj = MultilinearKZG.open(params_t, rlc, r_j)
         assert int(val_rj) == _rlc_values(values_rj, g)
+        _release_oracles(oracle)
 
         return ShoutBitsProof(
             log_table=log_k,
@@ -739,6 +780,7 @@ class ShoutBitsCommitted:
         return MultilinearKZG.commit(params_k, entries)
 
     @staticmethod
+    @_gc_paused
     def prove(table, prover_params: ProverParams) -> ShoutBitsCommProof:
         (entries, log_k, k_size, log_t, t_size, rb, rv
          ) = _shout_comm_columns(table)
@@ -778,6 +820,7 @@ class ShoutBitsCommitted:
         tv, proof_t = MultilinearKZG.open(params_k, entries, r_k)
         assert int(val_rj) == _rlc_values(values_rj, g)
         assert int(tv) == int(t_value)
+        _release_oracles(oracle)
 
         return ShoutBitsCommProof(
             log_table=log_k,
