@@ -274,6 +274,15 @@ class ShoutSound:
     @staticmethod
     def prove(table: LookupTable, prover_params: ProverParams,
               sparse: Optional[bool] = None) -> ShoutSoundProof:
+        from .twist_bits import _gc_paused
+
+        return _gc_paused(ShoutSound._prove_impl)(
+            table, prover_params, sparse
+        )
+
+    @staticmethod
+    def _prove_impl(table: LookupTable, prover_params: ProverParams,
+                    sparse: Optional[bool] = None) -> ShoutSoundProof:
         entries = [int(e) for e in table.entries]
         if not entries:
             raise InvalidParametersError("Sound Shout needs a non-empty table")
@@ -532,6 +541,18 @@ class TwistSound:
     @staticmethod
     def prove(trace: MemoryTrace, prover_params: ProverParams,
               sparse: Optional[bool] = None) -> TwistSoundProof:
+        # Pause the cyclic GC for the prove body (same allocation-burst
+        # profile as the bits tier — PERF_NOTES 31); lazy import avoids
+        # the sound <-> twist_bits import cycle.
+        from .twist_bits import _gc_paused
+
+        return _gc_paused(TwistSound._prove_impl)(
+            trace, prover_params, sparse
+        )
+
+    @staticmethod
+    def _prove_impl(trace: MemoryTrace, prover_params: ProverParams,
+                    sparse: Optional[bool] = None) -> TwistSoundProof:
         k_size = trace.memory_size
         log_k = k_size.bit_length() - 1
         ops = list(trace.operations)
